@@ -1,0 +1,78 @@
+"""Catalog: load the star-schema parquet tables of a scale-factor directory
+and register them as temp views.
+
+Mirrors the reference's catalog introspection over ``information_schema``
+(``pg.py:72-85`` in the reference) — there the schema lives in a running
+PostgreSQL; here it is discovered from parquet footers at read time.
+
+Scale note: ``spark.read.parquet`` yields a ``FileSourceScanExec`` with
+predicate pushdown + column pruning; at 100 TB the same call simply sees more
+files/row-groups — no code change. We deliberately do NOT cache/persist here:
+correctness queries each read a pruned column subset, and caching would
+materialize full-width rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table of the star schema as a DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which vanilla Spark
+    refuses to read; we read nanos as long (legacy conf) and rebuild a
+    microsecond TimestampType column — same wall-clock values DuckDB sees.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Read several tables; skips names whose parquet file is absent."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def table_columns(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
+    """``{table: [column, ...]}`` — the analog of the reference's
+    ``get_column_names`` (``pg.py:80-85``), read from parquet schemas."""
+    return {name: df.columns for name, df in load_tables(spark, sf_dir).items()}

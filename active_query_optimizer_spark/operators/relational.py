@@ -1,0 +1,859 @@
+"""Layer-A relational operator inventory (SURVEY.md §2.A).
+
+The reference's engine-facing surface is what its workloads + plan corpus
+contain: multi-way inner equi-joins (2–17 tables, incl. self-joins) under
+four physical join strategies, COUNT(*)/MIN aggregates, and the predicate
+forms = != > < >= <= LIKE NOT-LIKE IN BETWEEN OR IS-[NOT]-NULL, timestamp
+literals and epoch-integer date comparisons (reference: ``create_sql.py``,
+``generate_imdb_sql.py``, ``Lero/feature.py:10-15``, ``data/test/*.txt``).
+Sort/Limit/Materialize appear in its plan corpus; GROUP BY / windows / set
+ops / outer-semi-anti joins / subqueries are exposed too for completeness
+(built-in Spark — see SURVEY.md §2.A closing note).
+
+Each query here is expressed declaratively with the DataFrame API so
+Catalyst does pushdown/pruning/join-ordering; physical-strategy variants are
+pinned with join hints (the rebuild's analog of the reference's candidate
+plans, SURVEY.md §4.1). Every query has a DuckDB oracle.
+
+Scale notes (100 TB): every query is a pure declarative plan — scans carry
+pushed filters + pruned columns; small-dimension joins (region/nation/
+customer/supplier/part at TPC-H ratios) are explicitly broadcast where we
+know the dimension is bounded; the big-table joins (orders⋈lineitem) shuffle
+on their join key and AQE handles skew/coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import register
+
+
+def _utc(spark: SparkSession) -> None:
+    # Pin the session TZ so epoch/date-part math matches the (TZ-naive)
+    # DuckDB oracle regardless of the host session's zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _dec_sum(col, alias: str, scale: str = "decimal(18,2)"):
+    """Bit-deterministic SUM of a double column: sum exactly in decimal,
+    cast the total back to double (identical to the oracle's
+    ``CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)`` independent of row order)."""
+    return F.sum(col.cast(scale)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# 1. Flagship + scans
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_multijoin_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM orders o, customer c, nation n
+    WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+      AND o.o_totalprice > 100000.0 AND n.n_name <> 'NATION_3'
+    """,
+)
+def flagship_multijoin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-shaped multi-join COUNT(*) (reference ``data/train_pool.txt``,
+    ``create_sql.py:95-251``): connected 3-way inner equi-join with numeric
+    and string-inequality filters. nation is tiny → broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.filter(F.col("o_totalprice") > 100000.0)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.filter(F.col("n_name") != "NATION_3")),
+              c.c_nationkey == n.n_nationkey)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "scan_filter_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM lineitem
+    WHERE l_quantity >= 25.0 AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount < 0.08
+    """,
+)
+def scan_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seq Scan + residual Filter (``Lero/feature.py:11``): full-scan COUNT
+    with conjunctive predicates, all pushed to the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 25.0)
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") < 0.08)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "projection_join",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, n.n_name AS n_name
+    FROM customer c, nation n
+    WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal >= 0.0
+    """,
+)
+def projection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one non-aggregate projection query
+    (``data/test/stats_test_sql.txt:1`` — ``SELECT b.UserID, u.UpVotes``):
+    column-pruned join output ('Index Only Scan' analog — Catalyst prunes
+    to exactly the 3 referenced columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.filter(F.col("c_acctbal") >= 0.0)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_custkey"), F.col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Join-strategy variants (the reference's candidate physical plans —
+#    PG Hash Join / Merge Join / Nested Loop, ``Lero/feature.py:12``).
+#    Same logical join under different hints must give identical results.
+# ---------------------------------------------------------------------------
+
+_JOIN_ORACLE = """
+    SELECT COUNT(*) AS cnt, CAST(MIN(l.l_extendedprice) AS DOUBLE) AS min_price
+    FROM orders o, lineitem l
+    WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 150000.0
+      AND l.l_quantity > 10.0
+"""
+
+
+def _orders_lineitem(spark: SparkSession, sf_dir: str, hint: str | None):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10.0)
+    if hint:
+        o = o.hint(hint)
+    return o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("l_extendedprice").alias("min_price"),
+    )
+
+
+@register("hash_join_count", oracle=_JOIN_ORACLE)
+def hash_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG Hash Join analog → ``ShuffledHashJoinExec`` via SHUFFLE_HASH hint."""
+    return _orders_lineitem(spark, sf_dir, "shuffle_hash")
+
+
+@register("merge_join_count", oracle=_JOIN_ORACLE)
+def merge_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG Merge Join analog → ``SortMergeJoinExec`` via MERGE hint (Spark's
+    default strategy for large-large joins; the right choice at 100 TB)."""
+    return _orders_lineitem(spark, sf_dir, "merge")
+
+
+@register("broadcast_join_count", oracle=_JOIN_ORACLE)
+def broadcast_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG Hash Join with small build side → ``BroadcastHashJoinExec``.
+    (At 100 TB the filtered orders side may exceed the broadcast limit —
+    this variant exists as one of the explorable candidates, not the
+    default; ``plans/explore.py`` treats it as one knob setting.)"""
+    return _orders_lineitem(spark, sf_dir, "broadcast")
+
+
+@register(
+    "nested_loop_theta_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM nation n, region r
+    WHERE n.n_regionkey <> r.r_regionkey
+    """,
+)
+def nested_loop_theta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG Nested Loop analog: a theta (non-equi) join has no hash/merge
+    strategy → ``BroadcastNestedLoopJoinExec``. Kept to bounded-size
+    relations, as any sane NL join must be."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey != r.r_regionkey)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "sevenway_join_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM region r, nation n, customer c, orders o, lineitem l, part p, supplier s
+    WHERE r.r_regionkey = n.n_regionkey AND n.n_nationkey = c.c_nationkey
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+      AND l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      AND r.r_name = 'ASIA' AND p.p_size < 25 AND o.o_totalprice > 50000.0
+    """,
+)
+def sevenway_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-way connected inner equi-join (the STATS workloads reach 7 tables,
+    JOB reaches 17 — ``create_sql.py`` join-graph BFS). Dimensions broadcast;
+    the lineitem spine shuffles once on each big join key."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000.0)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 25)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "self_join_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM lineitem l1, lineitem l2
+    WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+      AND l1.l_returnflag = 'R'
+    """,
+)
+def self_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join via aliases (the reference's IMDB workloads self-join
+    ``title`` as t/t1/t2 — ``infos/imdb/alias_map``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.alias("l1").filter(F.col("l_returnflag") == "R")
+    l2 = li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. JOB-style MIN projections + the full predicate surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "min_projection_job_style",
+    oracle="""
+    SELECT MIN(p.p_name) AS min_pname, MIN(s.s_name) AS min_sname,
+           CAST(MIN(l.l_extendedprice) AS DOUBLE) AS min_price
+    FROM part p, lineitem l, supplier s
+    WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+      AND p.p_name LIKE '%red%' AND s.s_acctbal > 1000.0
+    """,
+)
+def min_projection_job_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB-form query (``data/test/imdb_test_sql.txt:1``): multiple
+    ``MIN(col) AS alias`` projections over a string-predicated join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 1000.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .agg(
+            F.min("p_name").alias("min_pname"),
+            F.min("s_name").alias("min_sname"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "pred_eq_neq",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderpriority <> '5-LOW'
+    """,
+)
+def pred_eq_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String = / != vs literal (``create_sql.py:227-229``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") != "5-LOW")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_range_ops",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM customer
+    WHERE c_acctbal > -500.0 AND c_acctbal < 9000.0
+      AND c_nationkey >= 5 AND c_nationkey <= 20 AND c_custkey <> 7
+    """,
+)
+def pred_range_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric comparison surface = != > < >= <= — op weights [1,7,7,7,7,7]
+    in the reference's generator (``create_sql.py:213``)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_acctbal") > -500.0)
+        & (F.col("c_acctbal") < 9000.0)
+        & (F.col("c_nationkey") >= 5)
+        & (F.col("c_nationkey") <= 20)
+        & (F.col("c_custkey") != 7)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_like",
+    oracle="SELECT COUNT(*) AS cnt FROM part WHERE p_name LIKE '%blue%'",
+)
+def pred_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIKE '%xx%'`` (``generate_imdb_sql.py:266-271``)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%blue%")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_not_like",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM part
+    WHERE p_name NOT LIKE '%red%' AND p_brand LIKE 'Brand#1%'
+    """,
+)
+def pred_not_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT LIKE`` + prefix LIKE (``generate_imdb_sql.py:317-322``)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        (~F.col("p_name").like("%red%")) & F.col("p_brand").like("Brand#1%")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_in",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM part
+    WHERE p_brand IN ('Brand#1','Brand#5','Brand#9','Brand#13','Brand#20',
+                      'Brand#25','Brand#7')
+    """,
+)
+def pred_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IN (v1..v7)`` — reference samples 2–7 values
+    (``generate_imdb_sql.py:260-265``)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin(
+            "Brand#1", "Brand#5", "Brand#9", "Brand#13", "Brand#20",
+            "Brand#25", "Brand#7")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_between",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM lineitem
+    WHERE l_quantity BETWEEN 10.0 AND 40.0
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1998-12-31 00:00:00'
+    """,
+)
+def pred_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``BETWEEN a AND b`` on numeric + timestamp (``sql_template.py:88-91``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10.0, 40.0)
+        & F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1998-12-31 00:00:00").cast("timestamp"),
+        )
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_or",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM orders
+    WHERE (o_orderstatus = 'P' OR o_totalprice < 5000.0
+           OR o_orderpriority = '1-URGENT')
+    """,
+)
+def pred_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR disjunctions (JOB corpus; ``sql_template.py:76-78``) — the Bitmap
+    Heap Scan analog: one pushed-down OR predicate over the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "P")
+        | (F.col("o_totalprice") < 5000.0)
+        | (F.col("o_orderpriority") == "1-URGENT")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_null_checks",
+    oracle="""
+    SELECT COUNT(*) AS cnt_notnull,
+           COUNT(CASE WHEN value IS NULL THEN 1 END) AS cnt_null
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def pred_null_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL (``sql_template.py:93-105``)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).agg(
+        F.count(F.lit(1)).alias("cnt_notnull"),
+        F.count(F.when(F.col("value").isNull(), F.lit(1))).alias("cnt_null"),
+    )
+
+
+@register(
+    "pred_ts_literal",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_type = 'click'
+    """,
+)
+def pred_ts_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-literal comparison (``data/test/stats_test_sql.txt:2`` —
+    ``'...'::timestamp`` casts)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("event_type") == "click")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pred_epoch_int",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM orders
+    WHERE CAST(epoch(o_orderdate) AS BIGINT) >= 820454400
+      AND CAST(epoch(o_orderdate) AS BIGINT) < 946684800
+    """,
+)
+def pred_epoch_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-integer date predicates — the reference destructively converts
+    timestamp columns to epoch seconds and generates integer comparisons
+    (``pg.py:54-66``, ``data/train_pool.txt:1``). We keep TimestampType and
+    derive epoch non-destructively via ``unix_timestamp``."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate"))
+    return o.filter((epoch >= 820454400) & (epoch < 946684800)).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# 4. Aggregates / sort / limit / grouping (plan-corpus operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "count_min_multi_agg",
+    oracle="""
+    SELECT COUNT(*) AS cnt, CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           MIN(o_orderdate) AS min_date, MIN(o_orderpriority) AS min_prio
+    FROM orders WHERE o_orderstatus <> 'P'
+    """,
+)
+def count_min_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Aggregate with COUNT + several MINs (plan corpus 'Aggregate',
+    Strategy Plain, partial+final split — Spark mirrors this with
+    partial/final HashAggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") != "P").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("o_totalprice").alias("min_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.min("o_orderpriority").alias("min_prio"),
+    )
+
+
+@register(
+    "transitive_equijoin_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM customer c, supplier s, nation n
+    WHERE c.c_nationkey = s.s_nationkey AND s.s_nationkey = n.n_nationkey
+      AND n.n_name <> 'NATION_9'
+    """,
+)
+def transitive_equijoin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key equivalence classes (union-find in ``create_sql.py:137-162``):
+    c.nationkey = s.nationkey = n.nationkey written as a chain; Catalyst
+    infers the transitive equality."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") != "NATION_9")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + Limit (plan-corpus nodes; ``Lero/feature.py:14``) —
+    ``TakeOrderedAndProjectExec`` in Spark: a distributed top-k that never
+    globally sorts, exactly what you want at 100 TB. Unique tie-break on
+    o_orderkey keeps the result deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed grouped aggregate (plan-corpus Aggregate Strategy=Hashed).
+    Decimal-exact SUM → deterministic double, independent of partial-agg
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: compound arithmetic expressions in
+    aggregates, all inside whole-stage codegen. Products are computed in
+    double (bit-identical across engines), summed exactly in decimal, and
+    the average is a single final division — order-independent results."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base"),
+            _dec_sum(disc_price, "sum_disc_price", "decimal(24,8)"),
+            _dec_sum(charge, "sum_charge", "decimal(24,8)"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "groupby_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_cust
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 50
+    """,
+)
+def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 50)
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 per group via ROW_NUMBER. At scale this is one
+    shuffle on the partition key; AQE handles group skew."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal",
+                 F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "distinct_count",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+    FROM orders
+    """,
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-phase exact distinct aggregate;
+    see ``approx_distinct_count`` for the 100 TB-friendly sketch version."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchy totals in one pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Semi/anti/outer joins, set ops, subqueries (completeness surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM customer c
+    WHERE c.c_acctbal < 0.0
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no row multiplication, half the shuffle
+    width of an inner join + distinct)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0.0)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "outer_join_count_per_customer",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_nationkey < 5
+    GROUP BY c.c_custkey
+    """,
+)
+def outer_join_count_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders (COUNT of a
+    nullable column skips NULLs in both engines)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
+
+
+@register(
+    "union_distinct_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two projections."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "intersect_except_keys",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    ) EXCEPT SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+    """,
+)
+def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT set operations."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000.0).select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 0).select(F.col("n_nationkey").alias("nationkey"))
+    return c.intersect(s).subtract(n)
+
+
+@register(
+    "in_subquery_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+    """,
+)
+def in_subquery_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → rewritten by Catalyst to a left-semi join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0.0)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "exchange_reuse_pairs",
+    oracle="""
+    WITH t AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+    SELECT COUNT(*) AS cnt FROM t a, t b
+    WHERE a.n = b.n AND a.o_custkey < b.o_custkey AND a.n >= 20
+    """,
+)
+def exchange_reuse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize analog (``Lero/feature.py:14``): the same aggregated
+    subplan consumed twice — Spark plans one Exchange and a
+    ReusedExchange for the second consumer."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    a = t.alias("a").filter(F.col("n") >= 20)
+    b = t.alias("b")
+    return (
+        a.join(b, (F.col("a.n") == F.col("b.n"))
+               & (F.col("a.o_custkey") < F.col("b.o_custkey")))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Expression / temporal extras over events
+# ---------------------------------------------------------------------------
+
+@register(
+    "props_extract_sum",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           COUNT(*) AS cnt
+    FROM events WHERE props IS NOT NULL GROUP BY event_type
+    """,
+)
+def props_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON ``props``
+    string with ``get_json_object`` and aggregate it."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "case_when_bucket_agg",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+                WHEN o_totalprice < 200000.0 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregate (constant-folded, codegen'd)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000.0, "low")
+        .when(F.col("o_totalprice") < 200000.0, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "date_trunc_monthly",
+    oracle="""
+    SELECT date_trunc('month', ts) AS month, event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time monthly rollup — the batch shape of the streaming windowed
+    aggregation in ``streaming/events.py``."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("month", F.col("ts")).alias("month"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("value"), "sum_value"))
+    )

@@ -1,0 +1,78 @@
+"""Benchmark: run headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed once after a session warm-up; timing covers logical
+planning through action completion (count/collect of the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from active_query_optimizer_spark.operators import QUERIES  # noqa: E402
+from active_query_optimizer_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scale-relevant core — big-table joins/aggs, the 7-way
+# join, window + dedup/similarity/text pipeline ops as they land.
+HEADLINE = [
+    "flagship_multijoin_count",
+    "scan_filter_count",
+    "hash_join_count",
+    "merge_join_count",
+    "sevenway_join_count",
+    "self_join_count",
+    "pricing_summary",
+    "window_topk_per_group",
+    "exchange_reuse_pairs",
+    "min_projection_job_style",
+    # data-pipeline ops (present from round 1 onward)
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("aqo-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

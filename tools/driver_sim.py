@@ -1,0 +1,46 @@
+"""Simulate the driver: vanilla session, hostile timezone, run entry() +
+every queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01."""
+import sys, math
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim")
+         .config("spark.sql.session.timeZone", "America/New_York")  # hostile TZ
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+df = E.entry(spark)
+rows = df.collect()
+print("entry rows:", rows)
+import duckdb, pandas as pd
+qs, osql = E.queries(), E.oracle_sql()
+print(f"{len(qs)} queries, {len(osql)} oracles")
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    def norm(v):
+        if isinstance(v, float) and math.isnan(v): return None
+        if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+            t = v.tolist(); return tuple(t) if isinstance(t, list) else t
+        if v is pd.NaT or v is None: return None
+        if isinstance(v, pd.Timestamp): return v.to_pydatetime()
+        return v
+    out = df.apply(lambda c: c.map(norm))
+    return out.sort_values(by=list(out.columns), key=lambda s: s.map(repr)).reset_index(drop=True)
+bad = []
+for name in sorted(qs):
+    sp = qs[name](spark, sf).toPandas()
+    if name not in osql:
+        print(f"  {name}: rows-only ({len(sp)})"); continue
+    du = con.execute(osql[name]).fetchdf()
+    ok = (sorted(sp.columns) == sorted(du.columns) and len(sp) == len(du))
+    if ok:
+        a, b = canon(sp), canon(du)
+        ok = all(list(a[c]) == list(b[c]) for c in a.columns)
+    print(("  OK  " if ok else "  FAIL") + f" {name}")
+    if not ok: bad.append(name)
+print("FAILURES:", bad if bad else "none")
