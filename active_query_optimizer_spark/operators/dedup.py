@@ -1,0 +1,256 @@
+"""Deduplication operators over the ``documents`` table — the
+LLM-data-pipeline generalization of the reference's MinHash-LSH machinery
+(``coreset.py:5-46`` partitions feature vectors with MinHash-LSH; here the
+same primitive dedups a document corpus at scale).
+
+Four families:
+- exact (hash-groupBy) — one shuffle on a fingerprint;
+- exact n-gram Jaccard (inverted-index self-join) — the quadratic-cost
+  baseline, restricted to a 10% id-sample;
+- MinHash + LSH banding (the 100 TB path): signature → band → bucket join →
+  candidate pairs → exact verification. Band parameters (k=126, r=6, b=21)
+  give P(candidate | s=0.8) ≈ 0.998 and ≈1 for s≥0.9, so after exact
+  verification the output equals the exact-Jaccard oracle on this corpus
+  (verified in tests at sf0.001/sf0.01);
+- SimHash fingerprints and embedding-cosine near-dup pairs.
+
+All hashing is seeded/deterministic (``functions.texttools``) and rendered
+both as Spark Columns and DuckDB SQL, so even the sketch-based operators
+carry exact value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import texttools as tt
+from ..functions import vector as vec
+from .registry import register
+
+JACCARD_THRESHOLD = 0.8
+SAMPLE_MOD = 10           # exact-baseline restriction: doc_id % 10 = 0
+EXACT_THRESHOLD = 0.5     # looser threshold for the sampled exact baseline
+LSH_ROWS = 6              # rows per band
+LSH_BANDS = 21            # bands (uses 126 of the 128 minhash perms)
+COSINE_THRESHOLD = 0.45
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by full text, keep the lowest doc_id as the
+    survivor. One shuffle; at 100 TB you'd group by a 128-bit fingerprint
+    instead of shipping full text through the exchange — that variant is
+    ``dedup_fingerprint_survivors``."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "n_copies")
+
+
+@register(
+    "dedup_fingerprint_survivors",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, fp
+    FROM (SELECT doc_id, {tt.fingerprint_sql('text')} AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_fingerprint_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: shuffle a 31-bit positional fingerprint instead
+    of the document body. (A production pipeline widens this to 128 bits;
+    the checksum here is the dual-rendered primitive.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tt.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (sampled baseline)
+# ---------------------------------------------------------------------------
+
+def _jaccard_oracle(where: str, threshold: float) -> str:
+    sh = tt.shingle_hashes_sql("text")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {sh} AS s FROM documents WHERE {where}
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+    FROM common
+    JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= {threshold}
+    """
+
+
+@register("dedup_ngram_jaccard",
+          oracle=_jaccard_oracle(f"doc_id % {SAMPLE_MOD} = 0", EXACT_THRESHOLD))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard similarity join via inverted index
+    (shingle → doc postings, self-join on shingle, count commons). This is
+    the quadratic-cost exact baseline — restricted to a 10% id-sample; the
+    full-corpus path is ``dedup_minhash_lsh``."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SAMPLE_MOD == 0)
+    sh = d.select("doc_id", tt.shingle_hashes(F.col("text")).alias("s"))
+    sz = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("c").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("c"))
+    return (
+        common.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= EXACT_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (the scale path)
+# ---------------------------------------------------------------------------
+
+@register("dedup_minhash_lsh",
+          oracle=_jaccard_oracle("TRUE", JACCARD_THRESHOLD))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the full corpus:
+    shingle-hash set → 126-perm MinHash signature → 21 bands × 6 rows →
+    bucket self-join on (band, band-key) → distinct candidate pairs →
+    exact Jaccard verification at 0.8.
+
+    Scale shape: the only wide ops are the bucket join (keyed by a 64-bit
+    band hash — skew-safe because identical band keys imply near-identical
+    docs) and the final per-pair verification, which touches candidate
+    pairs only, never the full cross product."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", tt.shingle_hashes(F.col("text")).alias("s"))
+    sig = sh.select(
+        "doc_id", "s", tt.minhash_signature(F.col("s")).alias("sig"))
+
+    bands = F.array(*[
+        F.xxhash64(F.lit(t), F.slice(F.col("sig"), t * LSH_ROWS + 1, LSH_ROWS))
+        for t in range(LSH_BANDS)
+    ])
+    ex = sig.select("doc_id", F.explode(bands).alias("bk"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = common.cast("double") / (F.size("sa") + F.size("sb") - common)
+    return (
+        cand.join(x, "doc_a").join(y, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {tt.simhash_sql(tt.token_hashes_sql(tt.tokens_sql('text')))} AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (token-multiset voting).
+    Near-dup candidates are then pairs within small Hamming distance —
+    bucketable by 4×8-bit chunks; the fingerprint computation is the
+    oracle-checked part."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tt.tokens(F.col("text"))
+    return d.select(
+        "doc_id", tt.simhash(tt.token_hashes(toks)).alias("simhash"))
+
+
+@register("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3, found by banding the
+    32-bit fingerprint into 4 bytes (a pair within distance 3 shares at
+    least one exact byte — pigeonhole). Approximate by construction → no SQL
+    oracle; recall is asserted against exact Hamming in tests."""
+    sims = dedup_simhash(spark, sf_dir)
+    chunks = F.array(*[
+        F.concat_ws(":", F.lit(i),
+                    F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)))
+        for i in range(4)
+    ])
+    ex = sims.select("doc_id", "simhash", F.explode(chunks).alias("chunk"))
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {vec.cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {vec.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, brute force) — the
+    correctness baseline for ``ann_*``. Left-to-right double folds keep
+    cosine bit-identical to the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = vec.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )

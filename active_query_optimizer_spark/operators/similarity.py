@@ -1,0 +1,122 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-d).
+
+Brute-force exact cosine top-k is the correctness baseline (and the oracle);
+a random-hyperplane LSH bucketed variant is the 100 TB path — candidates come
+from a bucket join instead of a full cross product, then are re-ranked
+exactly. The reference's k-center coreset selection (``coreset.py:48-89``)
+consumes exactly these cosine primitives.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import vector as vec
+from .registry import register
+
+TOP_K = 5
+N_QUERIES = 10          # query set: vec_id < 10
+LSH_TABLES = 8          # independent hash tables
+BITS_PER_TABLE = 8      # hyperplane sign bits per table
+EMB_DIM = 64
+
+_rng = random.Random(7)
+HYPERPLANES = [
+    [[_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)] for _ in range(BITS_PER_TABLE)]
+    for _ in range(LSH_TABLES)
+]
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {vec.cosine_sql('q.qe', 'e.embedding')} AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the full
+    embedding table, score with JVM-side folds, take per-query top-k with a
+    window. One pass over the big side, no shuffle of the corpus — at scale
+    the corpus stays partitioned and only per-partition top-k rows move
+    (Spark's WindowExec sees N_QUERIES × corpus rows; for large query sets
+    switch to the LSH variant)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                vec.cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _table_bucket(emb_col, table: int) -> F.Column:
+    """Sign-bit bucket id of one LSH table (module-seeded hyperplanes,
+    deterministic). Encoded with the table index so different tables never
+    collide on the join key."""
+    bucket = F.lit(table << BITS_PER_TABLE).cast("long")
+    for i, plane in enumerate(HYPERPLANES[table]):
+        proj = vec.dot(emb_col, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+@register("ann_lsh_bucketed")
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k: multi-table random-hyperplane LSH
+    (8 tables × 8 sign bits, Hamming-1 multiprobe), exact re-rank within
+    candidates. Approximate → no SQL oracle; recall vs ``ann_cosine_topk``
+    is asserted in tests. At 100 TB each table's bucket id is a shuffle
+    key — a query probes 9 of 256 buckets per table instead of scanning
+    the corpus, and table count tunes the recall/cost curve."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = F.array(*[_table_bucket(F.col("embedding"), t)
+                        for t in range(LSH_TABLES)])
+    base = e.select("vec_id", "embedding", F.explode(buckets).alias("bucket"))
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+    # probe set per table: own bucket + every 1-bit flip
+    qbuckets = [_table_bucket(F.col("embedding"), t) for t in range(LSH_TABLES)]
+    probes = F.explode(F.array(*(
+        [b for b in qbuckets]
+        + [b.bitwiseXOR(F.lit(1 << i)) for b in qbuckets for i in range(BITS_PER_TABLE)]
+    ))).alias("probe")
+    qp = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"), probes)
+    cand = (
+        qp.join(base.hint("shuffle_hash"), F.col("probe") == F.col("bucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding")
+        .distinct()
+        .select("query_id", "neighbor_id",
+                vec.cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1,0 +1,180 @@
+"""Text-analysis operators over the ``documents`` table: token statistics,
+BPE-ish token counting, quality scoring, language ID, fingerprinting.
+
+All pure Column expressions (JVM-side) with exact dual-rendered oracles —
+ratios are single divisions of integer counts, so doubles are bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import texttools as tt
+from .registry import register
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+UPPER_PATTERN = r"[A-Z]"
+
+_STOP_IN = ", ".join(f"'{w}'" for w in tt.STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({tt.tokens_sql('text')}) AS n_tokens,
+           len(text) AS n_chars_measured,
+           CAST(len(text) AS DOUBLE) / len({tt.tokens_sql('text')}) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + per-doc length stats."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tt.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length("text").cast("double") / n_tok).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: letter runs, digit runs, and single
+    punctuation marks as separate tokens (the usual pre-tokenizer shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({tt.tokens_sql('text')}) AS n_tok,
+             len(list_filter({tt.tokens_sql('text')}, x -> x IN ({_STOP_IN}))) AS n_stop,
+             len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
+             len(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+                 + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+                 + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio (fluency proxy),
+    punctuation density, and a length prior, combined into one score —
+    the standard cheap pre-filter before expensive model-based scoring."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tt.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*tt.STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_PATTERN), F.lit(0)))
+    n_chars = F.length("text")
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / n_chars
+    quality = F.round(
+        stop_ratio * 0.5 + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.2, 6)
+    return d.select(
+        "doc_id",
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    toks = tt.tokens_sql("text")
+    scores = {
+        lang: f"len(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in sorted(tt.LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in sorted(scores):
+        case += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    case += "END"
+    return f"SELECT doc_id, {case} AS lang_guess FROM documents"
+
+
+@register("text_langid", oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: count hits against per-language stopword
+    marker sets, argmax with deterministic alphabetical tie-break, 'und'
+    when nothing matches. (An n-gram-profile upgrade slots in behind the
+    same contract.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tt.tokens(F.col("text"))
+
+    def hits(words: tuple[str, ...]):
+        return lambda x: x.isin(*words)
+
+    scores = {
+        lang: F.size(F.filter(toks, hits(words)))
+        for lang, words in sorted(tt.LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    guess = F.when(best == 0, "und")
+    for lang in sorted(scores):
+        guess = guess.when(scores[lang] == best, lang)
+    return d.select("doc_id", guess.alias("lang_guess"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {tt.fingerprint_sql('text')} AS fp FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (position-weighted checksum)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tt.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "text_lang_summary",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(len({tt.tokens_sql('text')})) AS total_tokens,
+           CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by (lang, source) — integer sums + one final division
+    keep the average bit-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tt.tokens(F.col("text")))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )

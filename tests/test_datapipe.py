@@ -1,0 +1,90 @@
+"""Data-pipeline operator tests: oracle parity for the SQL-expressible ones
+(covered by test_relational's registry sweep), plus the approximate-operator
+guarantees that SQL can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from active_query_optimizer_spark.operators import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_matches_exact(spark):
+    """LSH candidates must catch every true pair ≥ threshold — this is what
+    makes the exact-Jaccard oracle valid for dedup_minhash_lsh."""
+    from active_query_optimizer_spark.operators.dedup import (
+        JACCARD_THRESHOLD, dedup_minhash_lsh)
+    from active_query_optimizer_spark.functions import texttools as tt
+    from active_query_optimizer_spark.catalog import load_table
+
+    got = _pairs(dedup_minhash_lsh(spark, SF_SMALL))
+
+    # brute-force exact pairs over the full (small) corpus
+    d = load_table(spark, SF_SMALL, "documents")
+    sh = d.select("doc_id", tt.shingle_hashes(F.col("text")).alias("s"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = common.cast("double") / (F.size("sa") + F.size("sb") - common)
+    exact = _pairs(
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .filter(F.col("j") >= JACCARD_THRESHOLD))
+    assert got == exact
+
+
+def test_simhash_pairs_hamming_sound(spark):
+    """Banding must find exactly the pairs with Hamming ≤ 3 (pigeonhole on
+    4 byte-chunks guarantees recall; the filter guarantees precision)."""
+    from active_query_optimizer_spark.operators.dedup import (
+        dedup_simhash, dedup_simhash_pairs)
+
+    sims = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, SF_SMALL).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup_simhash_pairs(spark, SF_SMALL).collect()}
+    ids = sorted(sims)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect
+
+
+def test_ann_lsh_recall(spark):
+    """Bucketed ANN must recover a reasonable fraction of the exact top-k
+    (approximate by design — assert recall, not equality)."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in QUERIES["ann_cosine_topk"](spark, SF_SMALL).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in QUERIES["ann_lsh_bucketed"](spark, SF_SMALL).collect()}
+    assert exact, "exact top-k came back empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_multimodal_pipeline_matches_column_twin(spark):
+    """mapInPandas fake-decode output must agree with the pure-Column twin
+    on the shared features."""
+    pipe = QUERIES["multimodal_feature_extract"](spark, SF_SMALL)
+    twin = QUERIES["multimodal_bytes_features"](spark, SF_SMALL)
+    p = {r["doc_id"]: (r["n_bytes"], r["first_byte"], r["last_byte"])
+         for r in pipe.collect()}
+    t = {r["doc_id"]: (r["n_bytes"], r["first_byte"], r["last_byte"])
+         for r in twin.collect()}
+    assert p == t and len(p) > 0
+
+
+def test_multimodal_real_decoder_is_gated():
+    from active_query_optimizer_spark.operators.multimodal import decode_payload
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00", kind="real")
