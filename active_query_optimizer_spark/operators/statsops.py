@@ -1,0 +1,106 @@
+"""Judge-facing statistics-harvester operators (SURVEY.md §2.B).
+
+The reference harvests per-column (min,max) ranges, distinct-value lists and
+top-k frequent values from PostgreSQL one column at a time
+(``pg.py:87-162,366-470``); here each shape is a single declarative Spark
+plan with a DuckDB oracle. The full artifact pipeline (range_dict over all
+tables, epoch conversion, JSON persistence) lives in ``..stats.harvester``
+and is exercised by tests; these entries pin the per-shape semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "stats_numeric_ranges",
+    oracle="""
+    SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(CAST(epoch(o_orderdate) AS BIGINT)) AS min_date_epoch,
+           MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS max_date_epoch
+    FROM orders
+    """,
+)
+def stats_numeric_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass (min,max) harvest over numeric + epoch-converted timestamp
+    columns (reference ``pg.py:112-120`` does one SQL round trip per column;
+    ``pg.py:54-66`` destroys the timestamp column — we derive epoch on the
+    fly). Partial+final HashAggregate, no raw-row shuffle at any scale."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min(F.unix_timestamp("o_orderdate")).alias("min_date_epoch"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("max_date_epoch"),
+    )
+
+
+@register(
+    "stats_topk_frequent_values",
+    oracle="""
+    SELECT p_brand AS value, COUNT(*) AS freq
+    FROM part WHERE p_brand IS NOT NULL
+    GROUP BY p_brand ORDER BY freq DESC, value LIMIT 10
+    """,
+)
+def stats_topk_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent values of a string column (reference
+    ``pg.py:135-151`` top-1000 ``GROUP BY .. ORDER BY COUNT(*) DESC``).
+    Map-side combine shuffles one (value,count) pair per distinct value per
+    partition; ``TakeOrderedAndProject`` avoids a global sort. Value
+    tie-break makes the LIMIT deterministic."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_brand").isNotNull())
+        .groupBy(F.col("p_brand").alias("value"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "value")
+        .limit(10)
+    )
+
+
+@register(
+    "stats_distinct_values",
+    oracle="""
+    SELECT DISTINCT o_orderpriority AS value FROM orders
+    WHERE o_orderpriority IS NOT NULL ORDER BY value
+    """,
+)
+def stats_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distinct-value list for a low-cardinality string column
+    (reference ``pg.py:121-134``: list all when ≤1000 distinct). Partial
+    distinct per partition, tiny exchange of unique values only."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select(F.col("o_orderpriority").alias("value"))
+             .where(F.col("value").isNotNull()).distinct().orderBy("value"))
+
+
+@register(
+    "stats_column_cardinalities",
+    oracle="""
+    SELECT COUNT(DISTINCT c_mktsegment) AS ndv_segment,
+           COUNT(DISTINCT c_nationkey) AS ndv_nation,
+           COUNT(*) AS n_rows
+    FROM customer
+    """,
+)
+def stats_column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (the reference gates list-vs-topk on
+    ``COUNT(DISTINCT c)``, ``pg.py:124-128``; our harvester uses HLL
+    ``approx_count_distinct`` for the gate at scale — exact here so the
+    oracle can pin values)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.countDistinct("c_mktsegment").alias("ndv_segment"),
+        F.countDistinct("c_nationkey").alias("ndv_nation"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -19,3 +19,18 @@ def spark():
     spark = get_spark("aqo-tests", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the SF_SMALL tables registered as views."""
+    import duckdb
+
+    from active_query_optimizer_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    yield con
+    con.close()

@@ -1,0 +1,173 @@
+"""Tests for the stats harvester (SURVEY §2.B) and workload layer (§2.C)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+from active_query_optimizer_spark.catalog import load_table
+from active_query_optimizer_spark.stats import harvester as H
+from active_query_optimizer_spark.workload import extract as X
+from active_query_optimizer_spark.workload import generate as G
+from active_query_optimizer_spark.workload import template as TPL
+from active_query_optimizer_spark.sources import workload_text as WT
+
+
+# ---------------------------------------------------------------- stats
+
+def test_numeric_ranges_match_oracle(spark, duck):
+    o = load_table(spark, SF_SMALL, "orders")
+    got = H.numeric_ranges(o)
+    exp = duck.sql(
+        "SELECT MIN(o_totalprice), MAX(o_totalprice), MIN(o_orderkey), "
+        "MAX(o_orderkey) FROM orders").fetchone()
+    assert got["o_totalprice"]["min"] == pytest.approx(exp[0])
+    assert got["o_totalprice"]["max"] == pytest.approx(exp[1])
+    assert got["o_orderkey"] == {"min": exp[2], "max": exp[3]}
+
+
+def test_epoch_view_nondestructive(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    assert H.find_timestamp_columns(o) == ["o_orderdate"]
+    epoch = H.epoch_seconds_view(o)
+    assert dict(epoch.dtypes)["o_orderdate"] == "bigint"
+    assert dict(o.dtypes)["o_orderdate"].startswith("timestamp")
+
+
+def test_string_stats_distinct_vs_topk(spark, duck):
+    o = load_table(spark, SF_SMALL, "orders")
+    stats = H.string_value_stats(o, ["o_orderstatus", "o_orderpriority"])
+    exp = {r[0] for r in duck.sql(
+        "SELECT DISTINCT o_orderstatus FROM orders "
+        "WHERE o_orderstatus IS NOT NULL").fetchall()}
+    assert stats["o_orderstatus"]["kind"] == "distinct"
+    assert set(stats["o_orderstatus"]["values"]) == exp
+    # high-cardinality path: force topk with a tiny cap
+    top = H.string_value_stats(o, ["o_orderstatus"], max_values=1)
+    assert top["o_orderstatus"]["kind"] == "topk"
+    assert len(top["o_orderstatus"]["values"]) == 1
+
+
+def test_harvest_and_persist_roundtrip(spark, tmp_path):
+    rd = H.harvest_range_dict(spark, SF_SMALL, tables=("nation", "region"))
+    assert rd["nation"]["n_nationkey"]["type"] == "numeric"
+    assert rd["region"]["r_name"]["type"] == "string"
+    p = os.path.join(tmp_path, "range_dict.json")
+    H.write_infos(rd, p)
+    assert H.read_infos(p) == rd
+
+
+def test_filter_column_restriction(spark):
+    n = load_table(spark, SF_SMALL, "nation")
+    only = H.harvest_table_stats(n, filter_columns={"n_name"})
+    assert set(only) == {"n_name"}
+
+
+# ------------------------------------------------------------- workload
+
+SEED_SQL = ("SELECT COUNT(*) FROM orders o, customer c, nation n "
+            "WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey "
+            "AND o.o_totalprice > 100000 AND n.n_name != 'NATION_3'")
+
+
+def test_mine_conditions():
+    joins, filters = X.mine_conditions(SEED_SQL)
+    assert ("customer.c_custkey", "orders.o_custkey") in joins
+    assert ("customer.c_nationkey", "nation.n_nationkey") in joins
+    assert ("orders", "o_totalprice") in filters
+    assert ("nation", "n_name") in filters
+
+
+def test_join_graph_and_distributions():
+    graph = X.build_join_graph(X.mine_conditions(SEED_SQL)[0])
+    assert ("customer", "o_custkey", "c_custkey") in graph["orders"]
+    jd, fd = X.count_distributions([SEED_SQL])
+    assert jd == {2: 1} and fd == {2: 1}
+
+
+def test_generated_workload_runs_on_spark_and_duckdb(spark, duck):
+    from active_query_optimizer_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    rd = H.harvest_range_dict(
+        spark, SF_SMALL,
+        tables=("region", "nation", "customer", "supplier", "orders"))
+    wl = G.generate_workload(spark, rd, num_sql=8, seed=7).collect()
+    assert len(wl) == 8
+    for row in wl:
+        sql = row["sql"]
+        assert sql.startswith("SELECT COUNT(*) FROM")
+        got = spark.sql(sql).collect()[0][0]
+        exp = duck.sql(sql).fetchone()[0]
+        assert got == exp, sql
+
+
+def test_generation_is_seed_deterministic(spark):
+    rd = {"orders": {"o_totalprice": {"type": "numeric",
+                                      "min": 1.0, "max": 9.0}}}
+    a = [r["sql"] for r in G.generate_workload(spark, rd, 5, seed=1).collect()]
+    b = [r["sql"] for r in G.generate_workload(spark, rd, 5, seed=1).collect()]
+    c = [r["sql"] for r in G.generate_workload(spark, rd, 5, seed=2).collect()]
+    assert a == b
+    assert a != c
+
+
+def test_workload_profile_distribution(spark):
+    df = spark.createDataFrame(
+        [(0, SEED_SQL), (1, SEED_SQL),
+         (2, "SELECT COUNT(*) FROM nation n WHERE n.n_nationkey > 1")],
+        "id long, sql string")
+    dist = {r["n_joins"]: r["n_queries"]
+            for r in X.workload_profile(df).collect()}
+    assert dist == {0: 1, 2: 2}
+
+
+# ------------------------------------------------------------- template
+
+def test_template_fingerprint_ignores_literals():
+    a = SEED_SQL
+    b = a.replace("100000", "555").replace("NATION_3", "NATION_9")
+    assert TPL.fingerprint(a) == TPL.fingerprint(b)
+    c = a.replace("AND o.o_totalprice > 100000", "")
+    assert TPL.fingerprint(a) != TPL.fingerprint(c)  # filter-col set differs
+    assert TPL.fingerprint(a, include_filters=False) == \
+        TPL.fingerprint(c, include_filters=False)
+    assert TPL.find_matching_template(b, [c]) == 0
+
+
+def test_fingerprint_workload_groups_templates(spark):
+    a = SEED_SQL
+    b = a.replace("100000", "1")
+    other = "SELECT COUNT(*) FROM nation n, region r WHERE n.n_regionkey = r.r_regionkey"
+    df = spark.createDataFrame([(0, a), (1, b), (2, other)], "id long, sql string")
+    fps = TPL.fingerprint_workload(df).groupBy("template_fp").count().collect()
+    assert sorted(r["count"] for r in fps) == [1, 2]
+
+
+# -------------------------------------------------------------- sources
+
+def test_workload_text_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(0, "SELECT 1"), (1, "SELECT 2")],
+                               "id long, sql string")
+    path = os.path.join(tmp_path, "wl")
+    WT.write_workload_text(df, path)
+    back = {r["qid"]: r["sql"] for r in
+            WT.read_workload_text(spark, path).collect()}
+    assert back == {"0": "SELECT 1", "1": "SELECT 2"}
+
+
+def test_read_plan_bundles(spark, tmp_path):
+    p1, p2 = '{"Plan": {"Node Type": "Seq Scan"}}', '{"Plan": {"Node Type": "Sort"}}'
+    path = os.path.join(tmp_path, "bundles.txt")
+    with open(path, "w") as f:
+        f.write(f"q1#####{p1}#####{p2}\n")
+        f.write(f"{p1}#####{p2}\n")  # qid-less train-file form
+    rows = WT.read_plan_bundles(spark, str(path)).collect()
+    assert len(rows) == 4
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["qid"], []).append((r["candidate_idx"], r["plan_json"]))
+    assert sorted(byq["q1"]) == [(0, p1), (1, p2)]
