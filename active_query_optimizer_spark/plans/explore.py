@@ -1,0 +1,122 @@
+"""Candidate physical-plan exploration via join-strategy hints.
+
+The Lero component the reference *depends on but does not ship* (its plan
+bundles are pre-baked, ``.MISSING_LARGE_BLOBS:1-13``): given a query,
+produce k alternative physical plans, execute each, and record
+(plan tree, wall time) — the labeled training data for the pairwise ranker.
+
+PostgreSQL-Lero steers its optimizer with cardinality-scaling knobs; the
+idiomatic Spark lever is **join-strategy hints** (``BROADCAST`` / ``MERGE``
+/ ``SHUFFLE_HASH`` / ``SHUFFLE_REPLICATE_NL``) plus the no-hint Catalyst
+default (SURVEY.md §4.1). Catalyst may override a hint, so variants are
+deduplicated by structural plan fingerprint before execution
+(SURVEY.md §7.3c).
+
+Labeling executes candidates one at a time and wall-clocks them — the same
+process shape as the reference's PG labeling runs; this is the *training*
+loop, not a query path, and its cost is the whole point (active learning
+exists to minimize how often we pay it).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..workload.extract import extract_aliases
+from .featurize import PlanNode, capture_plan, plan_fingerprint, to_pg_json
+
+HINT_STRATEGIES = ("BROADCAST", "MERGE", "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL")
+
+
+def with_hint(sql: str, strategy: str, aliases: list[str]) -> str:
+    """Inject ``/*+ STRATEGY(a1, a2, …) */`` after the first SELECT."""
+    if not aliases:
+        return sql
+    hint = f"/*+ {strategy}({', '.join(aliases)}) */"
+    idx = sql.upper().find("SELECT")
+    if idx < 0:
+        return sql
+    end = idx + len("SELECT")
+    return f"{sql[:end]} {hint}{sql[end:]}"
+
+
+@dataclass
+class Candidate:
+    variant: str
+    sql: str
+    fingerprint: str
+    plan: PlanNode
+    exec_time_ms: float | None = None
+
+    def to_bundle_json(self) -> str:
+        return to_pg_json(self.plan, self.exec_time_ms)
+
+
+def plan_variants(spark: SparkSession, sql: str,
+                  strategies: tuple[str, ...] = HINT_STRATEGIES
+                  ) -> list[Candidate]:
+    """Distinct physical-plan candidates for one query: Catalyst default +
+    one variant per hint strategy applied to every relation, deduplicated by
+    pre-execution plan fingerprint."""
+    aliases = sorted(extract_aliases(sql))
+    seen: set[str] = set()
+    out: list[Candidate] = []
+    for name, text in ([("default", sql)] +
+                       [(s.lower(), with_hint(sql, s, aliases))
+                        for s in strategies]):
+        try:
+            df = spark.sql(text)
+            tree = capture_plan(df, executed=False)
+        except Exception:
+            continue  # hint form Catalyst refuses outright
+        fp = plan_fingerprint(tree)
+        if fp in seen:
+            continue
+        seen.add(fp)
+        out.append(Candidate(variant=name, sql=text, fingerprint=fp, plan=tree))
+    return out
+
+
+def _time_execution(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.collect()
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def label_query(spark: SparkSession, sql: str,
+                strategies: tuple[str, ...] = HINT_STRATEGIES,
+                ) -> list[Candidate]:
+    """Execute every distinct variant of ``sql``; attach wall time and the
+    AQE-final executed plan (with actual ``numOutputRows``) to each
+    candidate — one labeled bundle, the reference's
+    ``qid#####planJSON…`` line content."""
+    labeled: list[Candidate] = []
+    for cand in plan_variants(spark, sql, strategies):
+        df = spark.sql(cand.sql)
+        ms = _time_execution(df)
+        executed = capture_plan(df, executed=True)
+        labeled.append(Candidate(
+            variant=cand.variant, sql=cand.sql,
+            fingerprint=plan_fingerprint(executed),
+            plan=executed, exec_time_ms=ms))
+    return labeled
+
+
+def label_workload(spark: SparkSession, queries: list[tuple[str, str]],
+                   strategies: tuple[str, ...] = HINT_STRATEGIES,
+                   ) -> list[tuple[str, list[Candidate]]]:
+    """Label a list of ``(qid, sql)`` — returns bundles in workload order.
+    Sequential by design: each candidate must own the cluster while timed,
+    concurrent labeling would corrupt the labels."""
+    return [(qid, label_query(spark, sql, strategies)) for qid, sql in queries]
+
+
+def bundles_to_lines(bundles: list[tuple[str, list["Candidate"]]]) -> list[str]:
+    """Reference bundle-file lines: ``qid#####plan1#####plan2…``
+    (``Lero/create_training_file.py:4-15``)."""
+    sep = "#####"
+    return [sep.join([qid] + [c.to_bundle_json() for c in cands])
+            for qid, cands in bundles if cands]
