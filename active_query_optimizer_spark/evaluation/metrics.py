@@ -1,0 +1,61 @@
+"""Ranker evaluation metrics as Spark jobs.
+
+Rebuilds ``Lero/lero_test.py:25-155``:
+
+- ``selection_report`` — per-query latency of the *chosen* plan plus the
+  ``sum`` row (``get_lero_dict``/``test``, ``lero_test.py:25-54,99-112``);
+- ``spearman_by_group`` / ``ranking_loss`` — 1 − mean Spearman correlation
+  between predicted scores and true latencies per query
+  (``compute_ranking_loss``, ``lero_test.py:115-155``). Spearman =
+  Pearson correlation of the two rank sequences; ranks come from window
+  ``row_number`` (deterministic tie-break — the corpus has no exact
+  latency ties), correlation from built-in ``F.corr`` — all JVM-side, one
+  shuffle on qid. Groups where either side is constant yield NULL corr and
+  are skipped, replicating the reference's NaN-group skip
+  (``lero_test.py:140-143``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..model.infer import choose_best
+
+
+def spearman_by_group(df: DataFrame, qid_col: str = "qid",
+                      pred_col: str = "score",
+                      truth_col: str = "exec_time_ms") -> DataFrame:
+    """``[qid, spearman]`` per query over its candidates (NULL when either
+    side is constant within the group)."""
+    w_pred = Window.partitionBy(qid_col).orderBy(pred_col, "candidate_idx")
+    w_true = Window.partitionBy(qid_col).orderBy(truth_col, "candidate_idx")
+    ranked = (df
+              .withColumn("__rp", F.row_number().over(w_pred).cast("double"))
+              .withColumn("__rt", F.row_number().over(w_true).cast("double")))
+    return (ranked.groupBy(qid_col)
+            .agg(F.corr("__rp", "__rt").alias("spearman")))
+
+
+def ranking_loss(df: DataFrame, qid_col: str = "qid",
+                 pred_col: str = "score",
+                 truth_col: str = "exec_time_ms") -> float:
+    """1 − mean Spearman over non-degenerate query groups."""
+    row = (spearman_by_group(df, qid_col, pred_col, truth_col)
+           .agg(F.avg("spearman").alias("mean_rho")).collect()[0])
+    rho = row["mean_rho"]
+    return 1.0 - (rho if rho is not None else 0.0)
+
+
+def selection_report(df: DataFrame, qid_col: str = "qid",
+                     score_col: str = "score",
+                     truth_col: str = "exec_time_ms") -> dict[str, float]:
+    """``{qid: chosen-plan seconds, …, "sum": total}`` — the reference's
+    ``lero_dict.json`` shape (``lero_test.py:99-112``; it divides ms by
+    1000 once — root ``stable.py:24-26`` divides twice, a catalogued bug we
+    do not replicate)."""
+    chosen = choose_best(df, qid_col, score_col).collect()
+    out = {r[qid_col]: r[truth_col] / 1000.0 for r in chosen}
+    out["sum"] = sum(out.values())
+    return out

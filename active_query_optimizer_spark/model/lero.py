@@ -64,9 +64,9 @@ class LeroModel:
             total, nb = 0.0, 0
             for s in range(0, len(order), batch_size):
                 sel = order[s:s + batch_size]
-                feats, idx = prepare_trees([trees[i] for i in sel])
+                feats, idx, nn = prepare_trees([trees[i] for i in sel])
                 net.zero_grad()
-                scores, _ = net.forward(feats, idx)
+                scores, _ = net.forward(feats, idx, nn)
                 diff = scores - y[sel]
                 total += float((diff ** 2).mean())
                 nb += 1
@@ -79,16 +79,16 @@ class LeroModel:
         net = self._ensure_net()
         # one batch per shared pad-size bucket would be faster; corpora are
         # small enough to pad globally
-        feats, idx = prepare_trees(trees)
-        scores, _ = net.forward(feats, idx)
+        feats, idx, nn = prepare_trees(trees)
+        scores, _ = net.forward(feats, idx, nn)
         return scores
 
     def embeddings(self, trees: list[VecNode]) -> np.ndarray:
         """64-d pooled plan embeddings (``lero_train.py:224-241`` —
         ``get_feaure`` (sic)); feeds coreset selection."""
         net = self._ensure_net()
-        feats, idx = prepare_trees(trees)
-        _, emb = net.forward(feats, idx)
+        feats, idx, nn = prepare_trees(trees)
+        _, emb = net.forward(feats, idx, nn)
         return emb
 
     # ---- persistence (reference: torch state dict + joblib'd generator,
@@ -134,14 +134,14 @@ class LeroModelPairWise(LeroModel):
             total, nb = 0.0, 0
             for s in range(0, len(order), batch_size):
                 sel = order[s:s + batch_size]
-                f1, i1 = prepare_trees([x1[i] for i in sel])
-                f2, i2 = prepare_trees([x2[i] for i in sel])
+                f1, i1, n1 = prepare_trees([x1[i] for i in sel])
+                f2, i2, n2 = prepare_trees([x2[i] for i in sel])
                 net.zero_grad()
-                s1, _ = net.forward(f1, i1)
+                s1, _ = net.forward(f1, i1, n1)
                 # forward side 1 caches are overwritten by side 2's forward,
                 # so backprop side 1 first, then side 2
                 p_tmp = s1.copy()
-                s2, _ = net.forward(f2, i2)
+                s2, _ = net.forward(f2, i2, n2)
                 p = _sigmoid(p_tmp - s2)
                 yb = labels[sel]
                 eps = 1e-12
@@ -150,7 +150,7 @@ class LeroModelPairWise(LeroModel):
                 nb += 1
                 g = (p - yb) / len(sel)
                 net.backward(-g)        # side 2 (cached last)
-                _, _ = net.forward(f1, i1)
+                _, _ = net.forward(f1, i1, n1)
                 net.backward(g)         # side 1 (re-forward to rebuild caches)
                 opt.step()
             losses.append(total / max(nb, 1))

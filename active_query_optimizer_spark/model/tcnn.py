@@ -16,6 +16,15 @@ numerically identical to the reference's stride-3 Conv1d over the gathered
 sequence (``tcnn.py:17-26``, ``util.py:64-111``). A zero column at index 0
 stands in for absent children; every layer re-prepends it so the index
 tensor stays valid through the stack.
+
+**Deliberate deviation from the reference**: its ``TreeLayerNorm`` and
+``DynamicPooling`` run over the *padded* tensor (``tcnn.py:41-47``), so a
+plan's score depends on which other trees share its batch — harmless in its
+single-process loop, fatal for distributed scoring where Arrow batch
+composition is arbitrary. Every layer here carries a real-node mask:
+normalization statistics and the max-pool consider real nodes only, making
+scores batch-invariant (verified by test: UDF batches == singleton local
+scoring bit-for-bit up to float assoc).
 """
 
 from __future__ import annotations
@@ -30,9 +39,17 @@ def _gather(x: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return np.take_along_axis(x, idx[:, None, :], axis=2)
 
 
+def make_mask(batch: int, max_nodes: int, n_nodes: np.ndarray) -> np.ndarray:
+    """(B, max_nodes+1) bool — True at real node columns 1..n_b; column 0
+    (the zero row) and padding columns are False."""
+    cols = np.arange(max_nodes + 1)[None, :]
+    return (cols >= 1) & (cols <= np.asarray(n_nodes)[:, None])
+
+
 class BinaryTreeConv:
     """Stride-3 tree convolution: out[b, :, m] = W @ concat(x[self],
-    x[left], x[right]) + bias, with a zero column re-prepended."""
+    x[left], x[right]) + bias, with a zero column re-prepended and padded
+    output columns forced to zero (mask)."""
 
     def __init__(self, c_in: int, c_out: int, rng: np.random.Generator) -> None:
         self.c_in, self.c_out = c_in, c_out
@@ -43,22 +60,24 @@ class BinaryTreeConv:
         self.dW = np.zeros_like(self.W)
         self.db = np.zeros_like(self.b)
 
-    def forward(self, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    def forward(self, x: np.ndarray, idx: np.ndarray,
+                mask: np.ndarray) -> np.ndarray:
         B, C, _ = x.shape
         M = idx.shape[1] // 3
         g = _gather(x, idx)                       # (B, C, 3M)
         g = g.reshape(B, C, M, 3).transpose(0, 2, 3, 1).reshape(B, M, 3 * C)
         y = g @ self.W.T + self.b                 # (B, M, c_out)
-        self._cache = (x.shape, idx, g)
         out = np.zeros((B, self.c_out, M + 1))
         out[:, :, 1:] = y.transpose(0, 2, 1)
+        out *= mask[:, None, :]                   # padded cols stay zero
+        self._cache = (x.shape, idx, g, mask)
         return out
 
     def backward(self, dout: np.ndarray) -> np.ndarray:
-        """dout (B, c_out, M+1) → dx (B, c_in, N+1). Column 0 of ``dout``
-        hits the constant zero column — dropped."""
-        x_shape, idx, g = self._cache
+        """dout (B, c_out, M+1) → dx (B, c_in, N+1)."""
+        x_shape, idx, g, mask = self._cache
         B, C, N1 = x_shape
+        dout = dout * mask[:, None, :]
         dy = dout[:, :, 1:].transpose(0, 2, 1)    # (B, M, c_out)
         M = dy.shape[1]
         self.dW += np.einsum("bmo,bmi->oi", dy, g)
@@ -69,9 +88,6 @@ class BinaryTreeConv:
         # scatter-add: multiple gathers of the same column accumulate
         for b in range(B):
             np.add.at(dx[b].T, idx[b], dg[b].T)
-        # note: no need to zero dx[:, :, 0] — when this layer follows
-        # another conv, the upstream backward drops its generated zero
-        # column itself; when it is the input layer, dx is discarded
         return dx
 
     def params(self):
@@ -79,34 +95,38 @@ class BinaryTreeConv:
 
 
 class TreeLayerNorm:
-    """Per-sample normalization over all (channel, node) positions
-    (``tcnn.py:28-35`` normalizes the whole gathered tensor)."""
+    """Per-sample normalization over real (channel, node) positions only
+    (reference ``tcnn.py:40-45`` includes padding — see module docstring)."""
 
     EPS = 1e-5
 
-    def forward(self, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
-        mu = x.mean(axis=(1, 2), keepdims=True)
-        var = x.var(axis=(1, 2), keepdims=True)
+    def forward(self, x: np.ndarray, idx: np.ndarray,
+                mask: np.ndarray) -> np.ndarray:
+        m = mask[:, None, :]                       # (B, 1, N+1)
+        n = (x.shape[1] * mask.sum(axis=1))[:, None, None]  # real elements
+        mu = (x * m).sum(axis=(1, 2), keepdims=True) / n
+        var = (((x - mu) * m) ** 2).sum(axis=(1, 2), keepdims=True) / n
         inv = 1.0 / np.sqrt(var + self.EPS)
-        y = (x - mu) * inv
-        self._cache = (y, inv, x.shape)
+        y = (x - mu) * inv * m
+        self._cache = (y, inv, m, n)
         return y
 
     def backward(self, dout: np.ndarray) -> np.ndarray:
-        y, inv, shape = self._cache
-        n = shape[1] * shape[2]
+        y, inv, m, n = self._cache
+        dout = dout * m
         dy_sum = dout.sum(axis=(1, 2), keepdims=True)
         dyy_sum = (dout * y).sum(axis=(1, 2), keepdims=True)
-        return inv * (dout - dy_sum / n - y * dyy_sum / n)
+        return (inv * (dout - m * dy_sum / n - y * dyy_sum / n))
 
     def params(self):
         return []
 
 
 class TreeActivation:
-    """LeakyReLU (``tcnn.py:37-42`` wraps the activation)."""
+    """LeakyReLU (``tcnn.py:31-38`` wraps the activation)."""
 
-    def forward(self, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    def forward(self, x: np.ndarray, idx: np.ndarray,
+                mask: np.ndarray) -> np.ndarray:
         self._mask = x >= 0
         return np.where(self._mask, x, LEAKY_SLOPE * x)
 
@@ -118,12 +138,13 @@ class TreeActivation:
 
 
 class DynamicPooling:
-    """Global max-pool over nodes (``tcnn.py:44-47``)."""
+    """Global max-pool over real nodes (``tcnn.py:44-47``)."""
 
-    def forward(self, x: np.ndarray) -> np.ndarray:
-        self._argmax = x.argmax(axis=2)
+    def forward(self, x: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        neg = np.where(mask[:, None, :], x, -np.inf)
+        self._argmax = neg.argmax(axis=2)
         self._shape = x.shape
-        return x.max(axis=2)
+        return neg.max(axis=2)
 
     def backward(self, dout: np.ndarray) -> np.ndarray:
         dx = np.zeros(self._shape)
@@ -181,6 +202,7 @@ class LeroNet:
                  hidden: tuple[int, int, int] = HIDDEN) -> None:
         rng = np.random.default_rng(seed)
         self.input_dim = input_dim
+        self.hidden = tuple(hidden)
         h1, h2, h3 = hidden
         self.tree = [
             BinaryTreeConv(input_dim, h1, rng), TreeLayerNorm(), TreeActivation(),
@@ -190,12 +212,13 @@ class LeroNet:
         self.pool = DynamicPooling()
         self.head = [Linear(h3, 32, rng), LeakyReLU(), Linear(32, 1, rng)]
 
-    def forward(self, feats: np.ndarray, idx: np.ndarray
-                ) -> tuple[np.ndarray, np.ndarray]:
+    def forward(self, feats: np.ndarray, idx: np.ndarray,
+                n_nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        mask = make_mask(feats.shape[0], feats.shape[2] - 1, n_nodes)
         x = feats
         for layer in self.tree:
-            x = layer.forward(x, idx)
-        emb = self.pool.forward(x)
+            x = layer.forward(x, idx, mask)
+        emb = self.pool.forward(x, mask)
         y = emb
         for layer in self.head:
             y = layer.forward(y)

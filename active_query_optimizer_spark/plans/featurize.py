@@ -387,19 +387,24 @@ def _flatten_preorder(tree: VecNode) -> tuple[list[np.ndarray], list[tuple[int, 
     return vecs, triples
 
 
-def prepare_trees(trees: list[VecNode]) -> tuple[np.ndarray, np.ndarray]:
-    """Batch of vector trees → (features (B, C, N+1), indexes (B, 3*N))
-    padded to the largest tree (``util.py:113-157``). Feature row 0 is the
-    zero vector; index 0 therefore gathers zeros for absent children."""
+def prepare_trees(trees: list[VecNode]
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch of vector trees → (features (B, C, N+1), indexes (B, 3*N),
+    n_nodes (B,)) padded to the largest tree (``util.py:113-157``). Feature
+    row 0 is the zero vector; index 0 therefore gathers zeros for absent
+    children. ``n_nodes`` drives the real-node mask so padding never leaks
+    into normalization/pooling (see ``model.tcnn`` module docstring)."""
     flat = [_flatten_preorder(t) for t in trees]
     dim = flat[0][0][0].shape[0]
     max_n = max(len(v) for v, _ in flat)
     feats = np.zeros((len(trees), dim, max_n + 1))
     idx = np.zeros((len(trees), 3 * max_n), dtype=np.int64)
+    n_nodes = np.zeros(len(trees), dtype=np.int64)
     for b, (vecs, triples) in enumerate(flat):
         for i, v in enumerate(vecs):
             feats[b, :, i + 1] = v
         tri = np.asarray(triples, dtype=np.int64)
         # pad with (0,0,0) triples → they convolve the zero row
         idx[b, : 3 * len(triples)] = tri.reshape(-1)
-    return feats, idx
+        n_nodes[b] = len(vecs)
+    return feats, idx, n_nodes

@@ -1,0 +1,138 @@
+"""Tests for distributed scoring/selection (SURVEY §2.F), metrics, and
+coreset selection (§2.E)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from active_query_optimizer_spark.plans import featurize as FZ
+from active_query_optimizer_spark.model import lero as L
+from active_query_optimizer_spark.model import infer as I
+from active_query_optimizer_spark.evaluation import metrics as M
+from active_query_optimizer_spark.select import coreset as CS
+
+
+def _bundle_df(spark, model_bundles):
+    rows = []
+    for qid, cands in model_bundles:
+        for i, (plan, t) in enumerate(cands):
+            rows.append((qid, i, FZ.to_pg_json(plan, t), float(t)))
+    return spark.createDataFrame(
+        rows, "qid string, candidate_idx int, plan_json string, exec_time_ms double")
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    from tests.test_plans_model import _synthetic_bundles
+
+    bundles = _synthetic_bundles(n_queries=20, seed=11)
+    model = L.train_pairwise_from_bundles(bundles, epochs=25, seed=11)
+    return bundles, model
+
+
+def test_distributed_scoring_matches_local(spark, trained):
+    bundles, model = trained
+    df = _bundle_df(spark, bundles)
+    scored = I.score_plans(df, model).collect()
+    for r in scored[:10]:
+        tree, _ = FZ.from_pg_json(r["plan_json"])
+        local = model.predict([model.fg.transform_tree(tree)])[0]
+        assert r["score"] == pytest.approx(local, rel=1e-6)
+
+
+def test_choose_best_and_selection_report(spark, trained):
+    bundles, model = trained
+    df = I.score_plans(_bundle_df(spark, bundles), model)
+    chosen = {r["qid"]: r["candidate_idx"] for r in I.choose_best(df).collect()}
+    assert len(chosen) == len(bundles)
+    # trained model picks the truly-faster candidate almost always
+    truth = {qid: int(np.argmin([t for _, t in cands]))
+             for qid, cands in bundles}
+    acc = sum(chosen[q] == truth[q] for q in truth) / len(truth)
+    assert acc >= 0.9
+    rep = M.selection_report(df)
+    assert rep["sum"] == pytest.approx(
+        sum(v for k, v in rep.items() if k != "sum"))
+
+
+def test_ranking_loss_perfect_and_inverted(spark):
+    rows = []
+    for q in range(5):
+        for i in range(3):
+            rows.append((f"q{q}", i, float(i), float(i * 10 + 1)))
+    df = spark.createDataFrame(
+        rows, "qid string, candidate_idx int, score double, exec_time_ms double")
+    assert M.ranking_loss(df) == pytest.approx(0.0)        # perfect order
+    inv = df.withColumn("score", -df.score)
+    assert M.ranking_loss(inv) == pytest.approx(2.0)       # fully inverted
+
+
+def test_ranking_loss_skips_constant_groups(spark):
+    rows = [("q0", 0, 1.0, 1.0), ("q0", 1, 1.0, 2.0),  # constant scores → rank by idx
+            ("q1", 0, 1.0, 5.0), ("q1", 1, 2.0, 9.0)]
+    df = spark.createDataFrame(
+        rows, "qid string, candidate_idx int, score double, exec_time_ms double")
+    # q0's row_number tie-break yields deterministic ranks, q1 perfect: both defined
+    loss = M.ranking_loss(df)
+    assert 0.0 <= loss <= 2.0
+
+
+def test_plan_embeddings_udf(spark, trained):
+    bundles, model = trained
+    df = _bundle_df(spark, bundles[:3])
+    emb = I.plan_embeddings(df, model).collect()
+    assert all(len(r["embedding"]) == 64 for r in emb)
+
+
+# -------------------------------------------------------------- coreset
+
+def test_standardize_and_normalize(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 4.0]), (2, [5.0, 8.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: np.array(r["norm_vec"])
+           for r in CS.standardize_and_normalize(df).collect()}
+    # row 1 is exactly the mean → legitimately the zero vector
+    for vid, v in out.items():
+        assert np.linalg.norm(v) == pytest.approx(0.0 if vid == 1 else 1.0)
+    # z-score: mean of dim0 = 3 → row0 negative, row2 positive
+    assert out[0][0] < 0 < out[2][0]
+
+
+def test_greedy_k_center_spreads(spark):
+    # two tight clusters + one outlier; k=2 from a single bucket must take
+    # one point from each far region, never two near-duplicates
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.01]),
+        (2, [0.0, 1.0]), (3, [0.01, 0.999]),
+    ]
+    df = (spark.createDataFrame(vecs, "vec_id long, norm_vec array<double>")
+          .withColumn("bucket", F.lit(0)))
+    sel = CS.greedy_k_center(df, labeled=None, k_per_bucket=2).collect()
+    ids = sorted(r["vec_id"] for r in sel)
+    assert len(ids) == 2
+    assert not (ids in ([0, 1], [2, 3]))  # not two near-duplicates
+
+
+def test_coreset_select_deterministic(spark):
+    from active_query_optimizer_spark.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(200)
+    a = CS.coreset_select(emb, k_per_bucket=3, num_groups=4).collect()
+    b = CS.coreset_select(emb, k_per_bucket=3, num_groups=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_greedy_respects_labeled_matrix(spark):
+    # labeled point sits exactly on cluster A → greedy must pick from B first
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, norm_vec array<double>").withColumn("bucket", F.lit(0))
+    labeled = np.array([[1.0, 0.0]])
+    sel = CS.greedy_k_center(df, labeled, k_per_bucket=1).collect()
+    assert sel[0]["vec_id"] == 1

@@ -72,9 +72,10 @@ def test_prepare_trees_shapes_and_indexes():
     tree, _ = FZ.from_pg_json(json.dumps(plan))
     fg = FZ.FeatureGenerator().fit([tree], [1.0])
     trees, labels = fg.transform([tree, tree], [1.0, None])
-    feats, idx = FZ.prepare_trees(trees)
+    feats, idx, n_nodes = FZ.prepare_trees(trees)
     assert feats.shape == (2, fg.input_feature_dim, 4)  # 3 nodes + zero row
     assert idx.shape == (2, 9)
+    assert n_nodes.tolist() == [3, 3]
     # root triple references children; zero row is all zeros
     assert idx[0, :3].tolist() == [1, 2, 3]
     assert not feats[0, :, 0].any()
@@ -110,32 +111,37 @@ def test_treeconv_gradcheck():
     x = rng.normal(size=(B, C, M + 1))
     x[:, :, 0] = 0.0
     idx = rng.integers(0, M + 1, size=(B, 3 * M))
+    mask = tcnn.make_mask(B, M, np.array([M, M - 1]))  # one padded sample
     conv = tcnn.BinaryTreeConv(C, 5, rng)
 
     def loss():
-        return float(conv.forward(x, idx).sum())
+        return float(conv.forward(x, idx, mask).sum())
 
-    conv.forward(x, idx)
+    conv.forward(x, idx, mask)
     dx = conv.backward(np.ones((B, 5, M + 1)))
     assert np.allclose(dx, _num_grad(loss, x), atol=1e-5)
     conv.dW[...] = 0
-    conv.forward(x, idx)
+    conv.forward(x, idx, mask)
     conv.backward(np.ones((B, 5, M + 1)))
     assert np.allclose(conv.dW, _num_grad(loss, conv.W), atol=1e-5)
 
 
 def test_layernorm_gradcheck():
     rng = np.random.default_rng(1)
-    x = rng.normal(size=(2, 3, 4))
+    B, C, M = 2, 3, 3
+    x = rng.normal(size=(B, C, M + 1))
+    mask = tcnn.make_mask(B, M, np.array([M, M - 1]))
     ln = tcnn.TreeLayerNorm()
-    w = rng.normal(size=(2, 3, 4))  # project so grad isn't trivially zero
+    w = rng.normal(size=(B, C, M + 1))  # project so grad isn't trivially zero
 
     def loss():
-        return float((ln.forward(x, None) * w).sum())
+        return float((ln.forward(x, None, mask) * w).sum())
 
-    ln.forward(x, None)
+    ln.forward(x, None, mask)
     dx = ln.backward(w)
-    assert np.allclose(dx, _num_grad(loss, x), atol=1e-4)
+    num = _num_grad(loss, x)
+    # gradient w.r.t. masked-out positions is 0 analytically and numerically
+    assert np.allclose(dx, num, atol=1e-4)
 
 
 def test_full_net_gradcheck_small():
@@ -144,17 +150,38 @@ def test_full_net_gradcheck_small():
     feats = rng.normal(size=(B, C, M + 1))
     feats[:, :, 0] = 0
     idx = np.tile(np.array([[1, 2, 3, 2, 0, 0, 3, 0, 0]]), (B, 1))
+    n_nodes = np.array([M, M])
     net = tcnn.LeroNet(C, seed=3, hidden=(6, 5, 4))
 
     def loss():
-        s, _ = net.forward(feats, idx)
+        s, _ = net.forward(feats, idx, n_nodes)
         return float(s.sum())
 
     net.zero_grad()
-    net.forward(feats, idx)
+    net.forward(feats, idx, n_nodes)
     net.backward(np.ones(B))
     p, g = net.params()[0]  # first conv W
     assert np.allclose(g, _num_grad(loss, p), atol=1e-4)
+
+
+def test_scores_are_batch_invariant():
+    """Padding must not leak: a tree scores identically alone and batched
+    with a much larger tree (the distributed-scoring invariant)."""
+    small = FZ.PlanNode("Seq Scan", relation="a", rows=10, width=2)
+    big = small
+    for _ in range(6):
+        big = FZ.PlanNode("Hash Join", rows=50, width=4,
+                          children=[big, FZ.PlanNode("Seq Scan", relation="b",
+                                                     rows=5, width=2)])
+    fg = FZ.FeatureGenerator().fit([small, big], [1.0, 2.0])
+    net = tcnn.LeroNet(fg.input_feature_dim, seed=7, hidden=(8, 6, 4))
+    ts, tb = fg.transform_tree(small), fg.transform_tree(big)
+
+    f1, i1, n1 = FZ.prepare_trees([ts])
+    solo, _ = net.forward(f1, i1, n1)
+    f2, i2, n2 = FZ.prepare_trees([ts, tb])
+    batched, _ = net.forward(f2, i2, n2)
+    assert batched[0] == pytest.approx(solo[0], rel=1e-12)
 
 
 # ------------------------------------------------------------ training
