@@ -10,7 +10,7 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 # Optional modules land incrementally; keep imports tolerant so a partial
 # checkout still exposes what exists.
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
-             "pipelineops"):
+             "pipelineops", "streamops"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ImportError:

@@ -1,0 +1,50 @@
+"""Dynamic pipeline: incremental retraining under workload drift.
+
+Rebuilds ``Lero/dynamic.py:23-53`` (and the 10-batch ``deployment.py``
+variant): for batch i, retrain from scratch on batch i's labeled bundles
+and evaluate on batch i+1 — the distribution-shift simulation. Per-batch
+total latency of the chosen plans is the reported series
+(``lero_dynamic_latency_list``).
+
+The batch loop is the reference's own shape; ``streaming.incremental``
+exposes the same logic as a Structured Streaming ``foreachBatch`` sink for
+a live bundle feed (SURVEY.md §3.3's closing note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..evaluation.metrics import ranking_loss, selection_report
+from ..model.infer import score_plans
+from ..model.lero import train_pairwise_from_bundles
+from ..plans.featurize import PlanNode, to_pg_json
+
+Bundle = tuple[str, list[tuple[PlanNode, float]]]
+
+
+def _score_bundles(spark: SparkSession, bundles: list[Bundle], model):
+    rows = [(qid, i, to_pg_json(p, t), float(t))
+            for qid, cands in bundles for i, (p, t) in enumerate(cands)]
+    df = spark.createDataFrame(
+        rows,
+        "qid string, candidate_idx int, plan_json string, exec_time_ms double")
+    return score_plans(df, model)
+
+
+def run_dynamic(spark: SparkSession, batches: list[list[Bundle]],
+                epochs: int = 50, seed: int = 0) -> dict:
+    """Train on batch i, evaluate on batch i+1 (reference
+    ``dynamic.py:27-53``: retrain from scratch each batch). Returns the
+    per-transition latency series and ranking losses."""
+    latency_series: list[float] = []
+    loss_series: list[float] = []
+    for i in range(len(batches) - 1):
+        model = train_pairwise_from_bundles(batches[i], epochs=epochs,
+                                            seed=seed + i)
+        scored = _score_bundles(spark, batches[i + 1], model).cache()
+        report = selection_report(scored)
+        latency_series.append(report["sum"])
+        loss_series.append(ranking_loss(scored))
+        scored.unpersist()
+    return {"latency_series": latency_series, "ranking_loss_series": loss_series}

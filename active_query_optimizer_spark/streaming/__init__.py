@@ -1,0 +1,5 @@
+"""Structured Streaming surfaces: watermarked event-time aggregation and
+the incremental-retrain loop as ``foreachBatch``."""
+
+from .windowed import windowed_event_counts, sessionize_events  # noqa: F401
+from .incremental import incremental_retrain_stream  # noqa: F401

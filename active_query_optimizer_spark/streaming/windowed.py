@@ -1,0 +1,52 @@
+"""Event-time streaming aggregations over the events stream.
+
+The reference is batch-only (SURVEY.md §1.1: no streaming constructs);
+these operators exist because the engine's 100 TB deployment shape includes
+continuous ingestion — the idiomatic Structured Streaming forms:
+
+- ``windowed_event_counts``: tumbling event-time window + watermark for
+  late data; partial aggregation happens per micro-batch, state keyed by
+  (window, event_type) — scales with distinct keys, not rows.
+- ``sessionize_events``: session windows per user with an inactivity gap
+  (built-in ``session_window`` — state-backed, watermark-bounded).
+
+Both take any DataFrame (batch or streaming) — in tests they run over a
+file-stream of the events parquet with ``availableNow`` triggers, and the
+same code runs ``spark.readStream`` in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Per (tumbling window, event_type): count + value sum. On a
+    streaming source the watermark bounds state and admits late rows up to
+    the delay; on a batch source the same plan is a plain grouped agg."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 # decimal accumulation → double: the sum is independent of
+                 # row/partition order (bit-deterministic re-runs)
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                  .cast("double").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sessionize_events(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with an inactivity ``gap``."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+            .select("user_id", F.col("sess.start").alias("session_start"),
+                    "n_events", "first_ts", "last_ts"))
