@@ -73,6 +73,23 @@ def register_views(spark: SparkSession, sf_dir: str,
     return dfs
 
 
+def load_for_compute(spark: SparkSession, sf_dir: str, name: str,
+                     key: str) -> DataFrame:
+    """Load a table and spread it across the cluster for CPU-heavy per-row
+    derivations (shingling, hashing, vector math).
+
+    Parquet splits by file/row-group, so a small-file table arrives in a
+    handful of partitions no matter how many cores exist — at sf0.1 the
+    5000-row documents table is ONE task. Expression cost per row here is
+    orders of magnitude above scan cost, so we explicitly hash-repartition
+    on the key to ``defaultParallelism``. At 100 TB the same call simply
+    becomes a cheap even-out of whatever the scan produced (AQE coalesces
+    it back if the downstream is shuffle-bound anyway).
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def table_columns(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
     """``{table: [column, ...]}`` — the analog of the reference's
     ``get_column_names`` (``pg.py:80-85``), read from parquet schemas."""

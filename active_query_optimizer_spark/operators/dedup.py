@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 from ..functions import texttools as tt
 from ..functions import vector as vec
 from .registry import register
@@ -34,6 +34,11 @@ JACCARD_THRESHOLD = 0.8
 SAMPLE_MOD = 10           # exact-baseline restriction: doc_id % 10 = 0
 EXACT_THRESHOLD = 0.5     # looser threshold for the sampled exact baseline
 LSH_ROWS = 6              # rows per band
+MINHASH_SHINGLE_N = 5     # 5-gram shingles: 3-grams of same-language text
+                          # are non-discriminative (median cross-doc Jaccard
+                          # ~0.5 -> ~30% of ALL pairs collide in >=1 band);
+                          # 5-grams push typical similarity to ~0.2 so LSH
+                          # candidates approximate true near-dups
 LSH_BANDS = 21            # bands (uses 126 of the 128 minhash perms)
 COSINE_THRESHOLD = 0.45
 
@@ -73,7 +78,7 @@ def dedup_fingerprint_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at scale: shuffle a 31-bit positional fingerprint instead
     of the document body. (A production pipeline widens this to 128 bits;
     the checksum here is the dual-rendered primitive.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     return (
         d.select("doc_id", tt.fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -86,8 +91,8 @@ def dedup_fingerprint_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard (sampled baseline)
 # ---------------------------------------------------------------------------
 
-def _jaccard_oracle(where: str, threshold: float) -> str:
-    sh = tt.shingle_hashes_sql("text")
+def _jaccard_oracle(where: str, threshold: float, n: int = 3) -> str:
+    sh = tt.shingle_hashes_sql("text", n)
     return f"""
     WITH sh AS (
       SELECT doc_id, {sh} AS s FROM documents WHERE {where}
@@ -114,7 +119,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle → doc postings, self-join on shingle, count commons). This is
     the quadratic-cost exact baseline — restricted to a 10% id-sample; the
     full-corpus path is ``dedup_minhash_lsh``."""
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id").filter(
         F.col("doc_id") % SAMPLE_MOD == 0)
     sh = d.select("doc_id", tt.shingle_hashes(F.col("text")).alias("s"))
     sz = sh.select("doc_id", F.size("s").alias("n"))
@@ -141,7 +146,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("dedup_minhash_lsh",
-          oracle=_jaccard_oracle("TRUE", JACCARD_THRESHOLD))
+          oracle=_jaccard_oracle("TRUE", JACCARD_THRESHOLD, n=MINHASH_SHINGLE_N))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over the full corpus:
     shingle-hash set → 126-perm MinHash signature → 21 bands × 6 rows →
@@ -152,10 +157,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band hash — skew-safe because identical band keys imply near-identical
     docs) and the final per-pair verification, which touches candidate
     pairs only, never the full cross product."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", tt.shingle_hashes(F.col("text")).alias("s"))
+    from pyspark import StorageLevel
+
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    # persist the shingle table: three consumers read it (signature branch
+    # + both verification sides) and a second repartition to force exchange
+    # reuse would be collapsed by CollapseRepartition into the single-task
+    # scan stage. At 100 TB this persist becomes "write the signature table
+    # once, join against it" — same dataflow, storage-backed.
+    sh = (d.select("doc_id", tt.shingle_hashes(
+            F.col("text"), n=MINHASH_SHINGLE_N).alias("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sig = sh.select(
-        "doc_id", "s", tt.minhash_signature(F.col("s")).alias("sig"))
+        "doc_id", "s", tt.minhash_signature_oph(F.col("s")).alias("sig"))
 
     bands = F.array(*[
         F.xxhash64(F.lit(t), F.slice(F.col("sig"), t * LSH_ROWS + 1, LSH_ROWS))
@@ -174,7 +188,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = common.cast("double") / (F.size("sa") + F.size("sb") - common)
     return (
-        cand.join(x, "doc_a").join(y, "doc_b")
+        # broadcast the candidate pairs (two longs per row, ≪ corpus) so
+        # the wide shingle table streams through both verification joins
+        # without ever being shuffled
+        x.join(F.broadcast(cand), "doc_a")
+        .join(y, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -196,7 +214,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup candidates are then pairs within small Hamming distance —
     bucketable by 4×8-bit chunks; the fingerprint computation is the
     oracle-checked part."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     toks = tt.tokens(F.col("text"))
     return d.select(
         "doc_id", tt.simhash(tt.token_hashes(toks)).alias("simhash"))
@@ -245,7 +263,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, brute force) — the
     correctness baseline for ``ann_*``. Left-to-right double folds keep
     cosine bit-identical to the oracle."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = vec.cosine(F.col("ea"), F.col("eb"))

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 from ..functions import vector as vec
 from .registry import register
 
@@ -57,7 +57,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus stays partitioned and only per-partition top-k rows move
     (Spark's WindowExec sees N_QUERIES × corpus rows; for large query sets
     switch to the LSH variant)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     scored = (
@@ -93,7 +93,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests. At 100 TB each table's bucket id is a shuffle
     key — a query probes 9 of 256 buckets per table instead of scanning
     the corpus, and table count tunes the recall/cost curve."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
     buckets = F.array(*[_table_bucket(F.col("embedding"), t)
                         for t in range(LSH_TABLES)])
     base = e.select("vec_id", "embedding", F.explode(buckets).alias("bucket"))

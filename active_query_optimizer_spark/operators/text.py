@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 from ..functions import texttools as tt
 from .registry import register
 
@@ -34,7 +34,7 @@ _STOP_IN = ", ".join(f"'{w}'" for w in tt.STOPWORDS)
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting + per-doc length stats."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     toks = tt.tokens(F.col("text"))
     n_tok = F.size(toks)
     return d.select(
@@ -56,7 +56,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: letter runs, digit runs, and single
     punctuation marks as separate tokens (the usual pre-tokenizer shape)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
@@ -88,7 +88,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: stopword ratio (fluency proxy),
     punctuation density, and a length prior, combined into one score —
     the standard cheap pre-filter before expensive model-based scoring."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     toks = tt.tokens(F.col("text"))
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*tt.STOPWORDS)))
@@ -127,7 +127,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker sets, argmax with deterministic alphabetical tie-break, 'und'
     when nothing matches. (An n-gram-profile upgrade slots in behind the
     same contract.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     toks = tt.tokens(F.col("text"))
 
     def hits(words: tuple[str, ...]):
@@ -152,7 +152,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document content fingerprint (position-weighted checksum)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     return d.select("doc_id", tt.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -168,7 +168,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup by (lang, source) — integer sums + one final division
     keep the average bit-deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     n_tok = F.size(tt.tokens(F.col("text")))
     return (
         d.groupBy("lang", "source")

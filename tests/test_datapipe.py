@@ -19,7 +19,7 @@ def test_minhash_lsh_recall_matches_exact(spark):
     """LSH candidates must catch every true pair ≥ threshold — this is what
     makes the exact-Jaccard oracle valid for dedup_minhash_lsh."""
     from active_query_optimizer_spark.operators.dedup import (
-        JACCARD_THRESHOLD, dedup_minhash_lsh)
+        JACCARD_THRESHOLD, MINHASH_SHINGLE_N, dedup_minhash_lsh)
     from active_query_optimizer_spark.functions import texttools as tt
     from active_query_optimizer_spark.catalog import load_table
 
@@ -27,7 +27,8 @@ def test_minhash_lsh_recall_matches_exact(spark):
 
     # brute-force exact pairs over the full (small) corpus
     d = load_table(spark, SF_SMALL, "documents")
-    sh = d.select("doc_id", tt.shingle_hashes(F.col("text")).alias("s"))
+    sh = d.select("doc_id", tt.shingle_hashes(
+        F.col("text"), n=MINHASH_SHINGLE_N).alias("s"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
