@@ -6,5 +6,9 @@ from .extract import (  # noqa: F401
     mine_conditions,
     workload_profile,
 )
-from .generate import generate_workload, SEED_WORKLOAD  # noqa: F401
+from .generate import (  # noqa: F401
+    SEED_WORKLOAD,
+    generate_workload,
+    generate_workload_template,
+)
 from .template import fingerprint, find_matching_template  # noqa: F401

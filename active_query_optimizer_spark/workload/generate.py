@@ -29,7 +29,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .extract import build_join_graph, count_distributions, mine_conditions
+from .extract import (build_join_graph, count_distributions, extract_aliases,
+                      mine_conditions)
 
 # Seed workload over the driver's star schema — the analog of the
 # reference's seed benchmark files (``data/test/stats_test_sql.txt``): the
@@ -168,6 +169,113 @@ def generate_one(rng: random.Random,
     from_clause = ", ".join(f"{t} {alias_of[t]}" for t in tables)
     where = " AND ".join(conds) if conds else "1 = 1"
     return f"SELECT COUNT(*) FROM {from_clause} WHERE {where}"
+
+
+IMDB_OPS = ["=", "!=", "LIKE", "IN"]
+IMDB_OP_WEIGHTS = [1, 13, 13, 13]  # generate_imdb_sql.py:260-271
+
+
+def _sample_imdb_filter(rng: random.Random, alias: str, col: str,
+                        stats: dict) -> str | None:
+    """JOB-style string filter (reference ``generate_imdb_sql.py:196-332``):
+    ops ``=/!=/LIKE/IN`` with weights [1,13,13,13]; ``IN`` draws 2–7
+    values; ``LIKE`` wraps the first two characters of a sampled value."""
+    values = stats.get("values") or []
+    if stats.get("type") != "string" or not values:
+        return _sample_filter(rng, None, alias, col, stats)
+    op = rng.choices(IMDB_OPS, weights=IMDB_OP_WEIGHTS, k=1)[0]
+    esc = lambda v: str(v).replace("'", "''")  # noqa: E731
+    if op in ("=", "!="):
+        return f"{alias}.{col} {op} '{esc(rng.choice(values))}'"
+    if op == "LIKE":
+        prefix = esc(str(rng.choice(values))[:2])
+        neg = "NOT LIKE" if rng.random() < 0.2 else "LIKE"
+        return f"{alias}.{col} {neg} '%{prefix}%'"
+    n = rng.randint(2, min(7, len(values)))
+    vals = ", ".join(f"'{esc(v)}'" for v in rng.sample(list(values), n))
+    return f"{alias}.{col} IN ({vals})"
+
+
+def generate_one_template(rng: random.Random,
+                          templates: list[tuple[list[str], list[tuple[str, str]]]],
+                          range_dict: dict[str, dict[str, dict]],
+                          imdb_style: bool = False) -> str:
+    """Whole-template mode (reference ``generate_stats_sql.py:86-223``):
+    pick one seed query's *complete* join-condition set as an atomic
+    template, then sample 2–6 filters (weights [1,3,3,2,1] —
+    ``generate_imdb_sql.py:336-404``)."""
+    aliased_conds, table_aliases = templates[rng.randrange(len(templates))]
+    n_filters = rng.choices([2, 3, 4, 5, 6], weights=[1, 3, 3, 2, 1], k=1)[0]
+    conds = list(aliased_conds)
+    candidates = [(t, a, c) for t, a in table_aliases
+                  for c in sorted(range_dict.get(t, {}))]
+    rng.shuffle(candidates)
+    for t, a, c in candidates:
+        if n_filters <= 0:
+            break
+        stats = range_dict[t][c]
+        pred = (_sample_imdb_filter(rng, a, c, stats) if imdb_style
+                else _sample_filter(rng, t, a, c, stats))
+        if pred:
+            conds.append(pred)
+            n_filters -= 1
+    from_clause = ", ".join(f"{t} {a}" for t, a in table_aliases)
+    return (f"SELECT COUNT(*) FROM {from_clause} "
+            f"WHERE {' AND '.join(conds)}")
+
+
+def _templates_from_seeds(seeds: list[str]):
+    """Each seed's alias-qualified join conditions + FROM list — the
+    'sorted full join-condition set as an atomic template' unit
+    (``generate_stats_sql.py:24-84``)."""
+    out = []
+    for sql in seeds:
+        aliases = extract_aliases(sql)
+        joins, _ = mine_conditions(sql)
+        if not joins:
+            continue
+        rev = {}
+        for a, t in aliases.items():
+            rev.setdefault(t, a)
+        conds = []
+        ok = True
+        for lhs, rhs in joins:
+            t1, c1 = lhs.split(".")
+            t2, c2 = rhs.split(".")
+            if t1 not in rev or t2 not in rev:
+                ok = False
+                break
+            conds.append(f"{rev[t1]}.{c1} = {rev[t2]}.{c2}")
+        if ok:
+            out.append((sorted(conds), sorted(rev.items())))
+    return out
+
+
+def generate_workload_template(spark: SparkSession,
+                               range_dict: dict[str, dict[str, dict]],
+                               num_sql: int = 20000, seed: int = 42,
+                               seed_workload: list[str] | None = None,
+                               imdb_style: bool = False) -> DataFrame:
+    """Template-mode workload DataFrame (the reference's 40k-query
+    ``generate_stats_sql`` / 20k-query ``generate_imdb_sql`` modes)."""
+    seeds = seed_workload if seed_workload is not None else SEED_WORKLOAD
+    templates = _templates_from_seeds(seeds)
+    if not templates:
+        raise ValueError("no join templates mineable from seed workload")
+    sc = spark.sparkContext
+    b_templates = sc.broadcast(templates)
+    b_ranges = sc.broadcast(range_dict)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sqls = []
+            for row_id in pdf["id"]:
+                rng = random.Random(seed * 0x9E3779B1 + int(row_id))
+                sqls.append(generate_one_template(
+                    rng, b_templates.value, b_ranges.value, imdb_style))
+            yield pd.DataFrame({"id": pdf["id"], "sql": sqls})
+
+    return spark.range(num_sql).mapInPandas(gen, "id long, sql string")
 
 
 def generate_workload(spark: SparkSession,

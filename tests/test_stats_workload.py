@@ -125,6 +125,48 @@ def test_workload_profile_distribution(spark):
     assert dist == {0: 1, 2: 2}
 
 
+def test_template_mode_workload_runs(spark, duck):
+    from active_query_optimizer_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    rd = H.harvest_range_dict(
+        spark, SF_SMALL,
+        tables=("region", "nation", "customer", "supplier", "orders", "part",
+                "lineitem"))
+    wl = G.generate_workload_template(spark, rd, num_sql=6, seed=5).collect()
+    assert len(wl) == 6
+    for row in wl:
+        got = spark.sql(row["sql"]).collect()[0][0]
+        exp = duck.sql(row["sql"]).fetchone()[0]
+        assert got == exp, row["sql"]
+    # template mode keeps a seed query's full join-condition set intact
+    joins = {tuple(X.mine_conditions(r["sql"])[0]) for r in wl}
+    seed_joins = {tuple(X.mine_conditions(s)[0]) for s in G.SEED_WORKLOAD}
+    assert joins <= seed_joins
+
+
+def test_imdb_style_filters(spark, duck):
+    from active_query_optimizer_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    rd = H.harvest_range_dict(spark, SF_SMALL,
+                              tables=("nation", "region", "part", "customer"))
+    seeds = ["SELECT COUNT(*) FROM part p, lineitem l "
+             "WHERE l.l_partkey = p.p_partkey",
+             "SELECT COUNT(*) FROM customer c, nation n "
+             "WHERE c.c_nationkey = n.n_nationkey"]
+    wl = G.generate_workload_template(spark, rd, num_sql=20, seed=11,
+                                      seed_workload=seeds,
+                                      imdb_style=True).collect()
+    text = "\n".join(r["sql"] for r in wl)
+    # JOB-style op mix present (weights favor !=, LIKE, IN)
+    assert " IN (" in text and "LIKE '%" in text
+    for row in wl[:6]:
+        got = spark.sql(row["sql"]).collect()[0][0]
+        exp = duck.sql(row["sql"]).fetchone()[0]
+        assert got == exp, row["sql"]
+
+
 # ------------------------------------------------------------- template
 
 def test_template_fingerprint_ignores_literals():
