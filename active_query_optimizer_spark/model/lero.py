@@ -182,6 +182,22 @@ def compute_rank_scores(times: list[float], mode: str = "rank") -> list[float]:
     raise ValueError(f"unknown rank mode {mode}")
 
 
+def pretrain_on_cost(bundles: list[tuple[str, list[PlanNode]]],
+                     epochs: int = 50, seed: int = 0) -> LeroModel:
+    """Pretraining mode: pointwise fit on the *optimizer's cost estimate*
+    instead of measured runtime (``lero_train.py:49-52,91-94`` — useful
+    before any labels exist; the Spark analog labels with CBO cost /
+    estimated cardinality). Plans must carry ``total_cost`` (PG bundles
+    do; Spark plans can use the root cardinality estimate)."""
+    plans = [p for _, cands in bundles for p in cands]
+    costs = [p.total_cost if p.total_cost is not None else 0.0 for p in plans]
+    fg = FeatureGenerator().fit(plans, costs)
+    model = LeroModel(fg, seed=seed)
+    trees, labels = fg.transform(plans, costs)
+    model.fit(trees, labels, epochs=epochs, seed=seed)
+    return model
+
+
 def train_pairwise_from_bundles(
         bundles: list[tuple[str, list[tuple[PlanNode, float]]]],
         epochs: int = 100, seed: int = 0) -> LeroModelPairWise:

@@ -78,12 +78,17 @@ _TRANSPARENT = {"Project", "Filter", "ColumnarToRow", "InputAdapter",
 @dataclass
 class PlanNode:
     """Engine-neutral physical-plan node (the reference's ``SampleEntity``
-    precursor, ``Lero/feature.py:104-158``)."""
+    precursor, ``Lero/feature.py:104-158``). ``total_cost`` carries the
+    optimizer's cost estimate when the source plan has one — the label for
+    the reference's pretrain-on-cost mode (``lero_train.py:49-52,91-94``);
+    it is NOT part of the node feature vector (the reference computes then
+    discards per-node costs, ``feature.py:217-218``)."""
     op: str
     relation: str | None = None
     rows: float = 0.0
     width: float = 0.0
     children: list["PlanNode"] = field(default_factory=list)
+    total_cost: float | None = None
 
     def preorder_ops(self) -> list[str]:
         out = [self.op]
@@ -111,12 +116,14 @@ def from_pg_json(plan: str | dict) -> tuple[PlanNode, float | None]:
         op = node.get("Node Type", "Unknown")
         if op not in _OP_INDEX:
             op = "Unknown"
+        cost = node.get("Total Cost")
         return PlanNode(
             op=op,
             relation=node.get("Relation Name"),
             rows=float(node.get("Plan Rows", 0) or 0),
             width=float(node.get("Plan Width", 0) or 0),
             children=children,
+            total_cost=float(cost) if cost is not None else None,
         )
 
     return build(root), exec_time

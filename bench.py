@@ -37,6 +37,12 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality_scores",
+    # optimizer-pipeline + streaming shapes
+    "plan_selection_argmin",
+    "spearman_rank_corr",
+    "stats_topk_frequent_values",
+    "stream_windowed_event_counts",
+    "stream_sessionize_events",
 ]
 
 
