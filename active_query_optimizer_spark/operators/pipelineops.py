@@ -53,9 +53,13 @@ def plan_selection_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT l_orderkey,
              (2 * RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)
-              + COUNT(*) OVER (PARTITION BY l_orderkey, l_quantity) - 1) / 2.0 AS fq,
+              + COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+                               RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+              - 1) / 2.0 AS fq,
              (2 * RANK() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice)
-              + COUNT(*) OVER (PARTITION BY l_orderkey, l_extendedprice) - 1) / 2.0 AS fp
+              + COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice
+                               RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+              - 1) / 2.0 AS fp
       FROM lineitem
     ), agg AS (
       SELECT l_orderkey, COUNT(*) AS n,
@@ -80,16 +84,14 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Constant-side groups (zero variance) are excluded — the reference skips
     NaN Spearman groups the same way (``lero_test.py:140-143``)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # all four windows partition by l_orderkey (tie counts via zero-width
+    # RANGE frames, not a second partitioning) → ONE shuffle, two sorts
     wq = Window.partitionBy("l_orderkey").orderBy("l_quantity")
     wp = Window.partitionBy("l_orderkey").orderBy("l_extendedprice")
-    fq = ((F.lit(2) * F.rank().over(wq)
-           + F.count(F.lit(1)).over(Window.partitionBy("l_orderkey",
-                                                       "l_quantity"))
-           - 1) / 2.0)
-    fp = ((F.lit(2) * F.rank().over(wp)
-           + F.count(F.lit(1)).over(Window.partitionBy("l_orderkey",
-                                                       "l_extendedprice"))
-           - 1) / 2.0)
+    ties_q = F.count(F.lit(1)).over(wq.rangeBetween(0, 0))
+    ties_p = F.count(F.lit(1)).over(wp.rangeBetween(0, 0))
+    fq = (F.lit(2) * F.rank().over(wq) + ties_q - 1) / 2.0
+    fp = (F.lit(2) * F.rank().over(wp) + ties_p - 1) / 2.0
     ranked = li.select("l_orderkey", fq.alias("fq"), fp.alias("fp"))
     agg = (ranked.groupBy("l_orderkey")
            .agg(F.count(F.lit(1)).alias("n"),

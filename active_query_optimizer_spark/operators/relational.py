@@ -857,3 +857,56 @@ def date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"),
              _dec_sum(F.col("value"), "sum_value"))
     )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k subtotal combinations). Spark expands
+    the cube at the partial-aggregate stage — one shuffle keyed by the
+    grouping-set id, no extra pass per subtotal level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("l_extendedprice"), "sum_price"))
+    )
+
+
+@register(
+    "skew_salted_join_count",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def skew_salted_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key-salting, the pre-AQE pattern for skewed join keys: the
+    probe side appends a random-but-deterministic salt in [0, S); the
+    (small) build side replicates each row S times with every salt, so the
+    join key becomes (key, salt) and one hot key spreads over S reducers.
+    Results are identical to the unsalted join — the oracle IS the unsalted
+    join. (With AQE's OptimizeSkewedJoin on, this is only needed for
+    extreme single-key skew or non-splittable aggregations.)"""
+    SALTS = 8
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    salted_probe = c.withColumn(
+        "salt", F.pmod(F.xxhash64("c_custkey"), F.lit(SALTS)))
+    salted_build = n.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALTS)])))
+    return (
+        salted_probe.join(salted_build,
+                          (F.col("c_nationkey") == F.col("n_nationkey"))
+                          & (salted_probe.salt == salted_build.salt))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
