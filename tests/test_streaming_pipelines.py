@@ -119,3 +119,35 @@ def test_incremental_retrain_foreachbatch(spark, tmp_path):
         _synthetic_bundles(1, seed=9)[0][1][0][0], 1.0))
     score = trainer.model.predict([trainer.model.fg.transform_tree(tree)])
     assert score.shape == (1,)
+
+
+def test_active_learning_loop(spark):
+    """The reference's core workflow: label seed batch → train → embed pool
+    → coreset-select next batch → label → retrain (SURVEY §0 step 6)."""
+    from active_query_optimizer_spark.catalog import register_views
+    from active_query_optimizer_spark.pipelines.active import run_active_loop
+
+    register_views(spark, SF_SMALL)
+    pool = [
+        ("p0", "SELECT COUNT(*) FROM customer c, nation n "
+               "WHERE c.c_nationkey = n.n_nationkey"),
+        ("p1", "SELECT COUNT(*) FROM orders o, customer c "
+               "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 10000"),
+        ("p2", "SELECT COUNT(*) FROM supplier s, nation n "
+               "WHERE s.s_nationkey = n.n_nationkey"),
+        ("p3", "SELECT COUNT(*) FROM nation n, region r "
+               "WHERE n.n_regionkey = r.r_regionkey"),
+        ("p4", "SELECT COUNT(*) FROM orders o, customer c, nation n "
+               "WHERE o.o_custkey = c.c_custkey "
+               "AND c.c_nationkey = n.n_nationkey"),
+        ("p5", "SELECT COUNT(*) FROM customer c WHERE c.c_acctbal > 0"),
+    ]
+    out = run_active_loop(spark, pool, seed_batch=2, batch_size=2,
+                          rounds=1, epochs=5)
+    assert out["model"] is not None
+    # seed batch + at least one actively-selected batch got labeled
+    assert len(out["history"]) == 2
+    assert out["history"][0] == ["p0", "p1"]
+    newly = set(out["history"][1])
+    assert newly and newly <= {"p2", "p3", "p4", "p5"}
+    assert out["labeled_qids"] == {"p0", "p1"} | newly
