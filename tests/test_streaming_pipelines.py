@@ -151,3 +151,62 @@ def test_active_learning_loop(spark):
     newly = set(out["history"][1])
     assert newly and newly <= {"p2", "p3", "p4", "p5"}
     assert out["labeled_qids"] == {"p0", "p1"} | newly
+
+
+def test_stateful_running_totals_matches_batch_agg(spark, tmp_path):
+    """applyInPandasWithState custom operator: after draining the stream,
+    per-user running totals equal a plain batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.streaming.stateful import (
+        running_user_totals)
+
+    stream, batch = _start_events_stream(spark, str(tmp_path / "ev3"))
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName("user_totals")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck4"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # "update" mode may emit a row per micro-batch; keep the final row
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6),
+                          r["first_ts"], r["last_ts"])
+           for r in spark.sql(
+               "SELECT * FROM user_totals").collect()}
+    exp = {r["user_id"]: (r["n"], round(r["s"], 6), r["f"], r["l"])
+           for r in batch.groupBy("user_id").agg(
+               F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+               F.min("ts").alias("f"), F.max("ts").alias("l")).collect()}
+    assert set(got) == set(exp)
+    mismatched = {u for u in exp if got[u] != exp[u]}
+    assert not mismatched, list(mismatched)[:3]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both sides of a join on the key gives a co-located
+    SortMergeJoin with NO Exchange — the pre-partitioned-storage pattern
+    for repeated big-table joins at 100 TB."""
+    from active_query_optimizer_spark.catalog import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    (o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", str(tmp_path / "o_b")).saveAsTable("orders_b"))
+    (c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", str(tmp_path / "c_b")).saveAsTable("customer_b"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            spark.table("orders_b").o_custkey
+            == spark.table("customer_b").c_custkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == o.join(
+            c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
