@@ -160,16 +160,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
-    # persist the shingle table: three consumers read it (signature branch
-    # + both verification sides) and a second repartition to force exchange
-    # reuse would be collapsed by CollapseRepartition into the single-task
-    # scan stage. At 100 TB this persist becomes "write the signature table
-    # once, join against it" — same dataflow, storage-backed.
-    sh = (d.select("doc_id", tt.shingle_hashes(
-            F.col("text"), n=MINHASH_SHINGLE_N).alias("s"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    sig = sh.select(
-        "doc_id", "s", tt.minhash_signature_oph(F.col("s")).alias("sig"))
+    # persist the (shingles, signature) table: FOUR consumers read it (both
+    # sides of the band self-join + both verification sides), and lineage
+    # recomputation would re-run shingling/OPH once per consumer. At 100 TB
+    # this persist becomes "write the signature table once, join against
+    # it" — same dataflow, storage-backed.
+    sig = (d.select("doc_id", tt.shingle_hashes(
+              F.col("text"), n=MINHASH_SHINGLE_N).alias("s"))
+           .withColumn("sig", tt.minhash_signature_oph(F.col("s")))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = sig.select("doc_id", "s")
 
     bands = F.array(*[
         F.xxhash64(F.lit(t), F.slice(F.col("sig"), t * LSH_ROWS + 1, LSH_ROWS))
