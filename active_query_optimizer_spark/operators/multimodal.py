@@ -117,3 +117,108 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder (rows-only driver check; exact values asserted in tests against
     the Column-op twin)."""
     return extract_features(binary_table(spark, sf_dir), kind="fake")
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample pipeline shapes (codecs stubbed; plumbing real)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.ArrayType(T.FloatType())),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_ts_ms", T.LongType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int = 8, height: int = 8,
+                  kind: str = "fake") -> DataFrame:
+    """Image-resize stage shape: binary payload → fixed (width×height)
+    float grid. ``real`` is the PIL/cv2 plug point; the ``fake`` decoder
+    derives a deterministic grid from payload bytes so the batch shape,
+    schema, and partition-parallelism are fully exercised. One output row
+    per image; array column sized width·height (Arrow keeps it columnar).
+    """
+    if kind == "real":
+        raise NotImplementedError(
+            "image codecs are not installed; plug PIL/cv2 in here")
+    n_px = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(b) == 0:
+                    rows.append(np.zeros(n_px, dtype=np.float32))
+                    continue
+                # deterministic fake "resize": average-pool the byte stream
+                # into n_px buckets, normalized to [0, 1]
+                idx = (np.arange(len(b)) * n_px) // len(b)
+                sums = np.zeros(n_px); counts = np.zeros(n_px)
+                np.add.at(sums, idx, b)
+                np.add.at(counts, idx, 1)
+                counts[counts == 0] = 1
+                rows.append((sums / counts / 255.0).astype(np.float32))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": width, "height": height,
+                "pixels": [r for r in rows],
+            })
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4,
+                  kind: str = "fake") -> DataFrame:
+    """Video frame-sampling stage shape: one input row (video payload) →
+    up to ``max_frames`` output rows, each a (frame_idx, timestamp, bytes)
+    — the row-expanding mapInPandas pattern (output cardinality ≠ input
+    cardinality is why this is mapInPandas, not a UDF). ``real`` is the
+    pyav plug point; ``fake`` slices the payload deterministically."""
+    if kind == "real":
+        raise NotImplementedError(
+            "video codecs are not installed; plug pyav in here")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                n = min(max_frames, max(1, len(p) // 64))
+                for i in range(n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(p[i * 64:(i + 1) * 64])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                "frame_bytes": frames,
+            })
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+@register("multimodal_resize_grid")
+def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline shape over binary payloads (rows-only: fake
+    decoder; grid values pinned by unit tests)."""
+    return resize_images(binary_table(spark, sf_dir))
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline shape: row-expanding mapInPandas (rows-only;
+    expansion counts pinned by unit tests)."""
+    return sample_frames(binary_table(spark, sf_dir))

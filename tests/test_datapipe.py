@@ -89,3 +89,41 @@ def test_multimodal_real_decoder_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x00", kind="real")
+
+
+def test_multimodal_resize_grid_shape_and_determinism(spark):
+    from active_query_optimizer_spark.operators.multimodal import (
+        binary_table, resize_images)
+    import numpy as np
+    import pytest as _pt
+
+    b = binary_table(spark, SF_SMALL).limit(20)
+    out = {r["doc_id"]: r for r in resize_images(b, 8, 8).collect()}
+    assert all(len(r["pixels"]) == 64 for r in out.values())
+    assert all(0.0 <= v <= 1.0 for r in out.values() for v in r["pixels"])
+    # deterministic across runs
+    again = {r["doc_id"]: r["pixels"]
+             for r in resize_images(b, 8, 8).collect()}
+    some = next(iter(out))
+    assert np.allclose(out[some]["pixels"], again[some])
+    with _pt.raises(NotImplementedError):
+        resize_images(b, kind="real")
+
+
+def test_multimodal_frame_sample_expansion(spark):
+    from pyspark.sql import functions as SF
+    from active_query_optimizer_spark.operators.multimodal import (
+        binary_table, sample_frames)
+
+    b = binary_table(spark, SF_SMALL).limit(20)
+    frames = sample_frames(b, every_ms=500, max_frames=3)
+    agg = (frames.groupBy("doc_id")
+           .agg(SF.count(SF.lit(1)).alias("n"),
+                SF.max("frame_ts_ms").alias("last_ts")).collect())
+    payload_len = {r["doc_id"]: r["n_bytes"] for r in
+                   b.select("doc_id", SF.col("meta.n_bytes").alias("n_bytes"))
+                   .collect()}
+    for r in agg:
+        expect = min(3, max(1, payload_len[r["doc_id"]] // 64))
+        assert r["n"] == expect
+        assert r["last_ts"] == (expect - 1) * 500
