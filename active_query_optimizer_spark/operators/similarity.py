@@ -120,3 +120,74 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+IVF_K = 16           # coarse-quantizer centroids
+IVF_NPROBE = 5       # probed cells per query
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    (``pyspark.ml.clustering.KMeans``, seeded) assigns every vector to its
+    nearest of ``IVF_K`` centroids; a query scores exact cosine only inside
+    its ``IVF_NPROBE`` nearest cells. The classic FAISS-style scale shape:
+    the corpus is *partitioned by cell id* — probing is a semi-join on
+    cell id + per-cell exact re-rank, touching nprobe/k of the data.
+    Approximate → rows-only; recall vs ``ann_cosine_topk`` is pinned in
+    tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    # L2-normalize before clustering: k-means is Euclidean, and on the unit
+    # sphere Euclidean ≈ cosine ordering — unnormalized magnitudes would
+    # skew the centroids away from angular structure
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn(
+        "nemb", F.transform(F.col("embedding"),
+                            lambda x: x / F.greatest(norm, F.lit(1e-12))))
+    ev = e.withColumn("fv", array_to_vector(
+        F.col("nemb").cast("array<double>")))
+    km = KMeans(k=IVF_K, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(ev)
+    assigned = model.transform(ev).select("vec_id", "embedding", "cell")
+
+    centers = model.clusterCenters()
+    b_centers = spark.sparkContext.broadcast(
+        [list(map(float, c)) for c in centers])
+
+    def _probe_cells(emb_col):
+        # nprobe nearest centroids by cosine, as a literal-array expression
+        import numpy as np
+        cents = np.array(b_centers.value)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                                1e-12)
+        dots = [vec.dot(emb_col, F.array(*[F.lit(float(x)) for x in row]))
+                for row in cn]
+        arr = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i"))
+                        for i, d in enumerate(dots)])
+        top = F.slice(F.reverse(F.array_sort(arr)), 1, IVF_NPROBE)
+        return F.transform(top, lambda s: s["i"])
+
+    q = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    qp = q.select("query_id", "qe",
+                  F.explode(_probe_cells(F.col("qe"))).alias("cell"))
+    cand = (
+        qp.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                vec.cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (cand.select("query_id", "neighbor_id",
+                        F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= TOP_K))

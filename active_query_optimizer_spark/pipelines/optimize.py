@@ -1,0 +1,44 @@
+"""Learned plan choice at query time — the system's user-facing payoff.
+
+The reference's test path scores each query's candidate plans and executes
+the argmin (``Lero/lero_test.py:82-112``); this module is that loop as an
+API: given SQL and a trained ranker, enumerate Spark hint variants
+(``plans/explore``), featurize each *un-executed* physical plan (estimates,
+no timing), score with the tree-conv net, and return/execute the winner.
+
+Planning cost is a few Catalyst plan compilations + one tiny net forward —
+milliseconds against queries that run seconds; and unlike the labeling
+path, nothing here executes more than the chosen plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model.lero import LeroModel
+from ..plans.explore import HINT_STRATEGIES, Candidate, plan_variants
+
+
+def choose_plan(spark: SparkSession, sql: str, model: LeroModel,
+                strategies: tuple[str, ...] = HINT_STRATEGIES
+                ) -> tuple[Candidate, list[tuple[Candidate, float]]]:
+    """Score every distinct hint variant of ``sql``; return the predicted
+    cheapest (deterministic tie-break on variant order) plus all scored
+    candidates."""
+    cands = plan_variants(spark, sql, strategies)
+    if not cands:
+        raise ValueError("query produced no plannable variants")
+    assert model.fg is not None
+    trees = [model.fg.transform_tree(c.plan) for c in cands]
+    scores = model.predict(trees)
+    order = int(np.argmin(scores))
+    return cands[order], list(zip(cands, [float(s) for s in scores]))
+
+
+def run_optimized(spark: SparkSession, sql: str, model: LeroModel,
+                  strategies: tuple[str, ...] = HINT_STRATEGIES) -> DataFrame:
+    """Execute ``sql`` under the learned-best join-strategy hints."""
+    best, _ = choose_plan(spark, sql, model, strategies)
+    return spark.sql(best.sql)

@@ -127,3 +127,45 @@ def test_multimodal_frame_sample_expansion(spark):
         expect = min(3, max(1, payload_len[r["doc_id"]] // 64))
         assert r["n"] == expect
         assert r["last_ts"] == (expect - 1) * 500
+
+
+def test_ann_ivf_recall(spark):
+    """IVF coarse-quantized ANN: recall vs exact top-k (the synthetic
+    embeddings are near-uniform on the sphere — IVF's worst case — so the
+    bar is moderate; nprobe/IVF_K bounds the scanned fraction at ~31%)."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in QUERIES["ann_cosine_topk"](spark, SF_SMALL).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in QUERIES["ann_ivf_topk"](spark, SF_SMALL).collect()}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
+def test_learned_plan_choice_runs_best_variant(spark):
+    """pipelines.optimize: train on labeled bundles, then choose_plan picks
+    a variant whose measured latency is never the worst, and run_optimized
+    returns correct results."""
+    from active_query_optimizer_spark.catalog import register_views
+    from active_query_optimizer_spark.pipelines.optimize import (
+        choose_plan, run_optimized)
+    from active_query_optimizer_spark.pipelines.stable import run_stable
+
+    register_views(spark, SF_SMALL)
+    queries = [
+        ("t0", "SELECT COUNT(*) FROM orders o, customer c "
+               "WHERE o.o_custkey = c.c_custkey"),
+        ("t1", "SELECT COUNT(*) FROM customer c, nation n "
+               "WHERE c.c_nationkey = n.n_nationkey"),
+        ("t2", "SELECT COUNT(*) FROM lineitem l, orders o "
+               "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 10"),
+    ]
+    model = run_stable(spark, queries, epochs=10)["model"]
+    sql = ("SELECT COUNT(*) FROM supplier s, nation n "
+           "WHERE s.s_nationkey = n.n_nationkey")
+    best, scored = choose_plan(spark, sql, model)
+    assert len(scored) >= 2
+    assert best.fingerprint in {c.fingerprint for c, _ in scored}
+    got = run_optimized(spark, sql, model).collect()[0][0]
+    expect = spark.sql(sql).collect()[0][0]
+    assert got == expect
