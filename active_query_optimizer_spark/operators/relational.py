@@ -910,3 +910,47 @@ def skew_salted_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (arbitrary subtotal combinations, distinct
+    from ROLLUP/CUBE prefixes). Spark plans one expand + one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
+    "datetime_parts_agg",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY yr, qtr, dow
+    """,
+)
+def datetime_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction + grouping (year/quarter/day-of-week).
+    DuckDB ``dayofweek`` is 0=Sunday while Spark ``dayofweek`` is
+    1=Sunday — normalized to DuckDB's convention here."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"))
+        .agg(F.count(F.lit(1)).alias("cnt")))
