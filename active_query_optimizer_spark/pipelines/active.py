@@ -40,7 +40,8 @@ def pool_default_plans(spark: SparkSession,
     representation the embeddings are computed from."""
     rows = []
     for qid, sql in pool:
-        cands = plan_variants(spark, sql, strategies=())
+        cands = plan_variants(spark, sql, strategies=(),
+                              join_order_rotations=0)
         if cands:
             rows.append((qid, to_pg_json(cands[0].plan)))
     return spark.createDataFrame(rows, "qid string, plan_json string")

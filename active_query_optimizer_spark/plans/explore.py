@@ -55,18 +55,42 @@ class Candidate:
         return to_pg_json(self.plan, self.exec_time_ms)
 
 
+def reorder_from_clause(sql: str, rotation: int) -> str:
+    """Rotate the comma-FROM table list by ``rotation`` positions — the
+    cheap join-ORDER exploration lever (Lero's PG explorer perturbs join
+    order via cardinality scaling; Catalyst plans comma-joins largely in
+    FROM order below the CBO threshold, so rotating the list yields
+    genuinely different join trees). WHERE text is untouched — aliases
+    keep their meaning."""
+    import re as _re
+
+    m = _re.search(r"\bFROM\s+(.*?)(\s+WHERE\b)", sql,
+                   _re.IGNORECASE | _re.DOTALL)
+    if not m:
+        return sql
+    parts = [p.strip() for p in m.group(1).split(",") if p.strip()]
+    if len(parts) < 2:
+        return sql
+    r = rotation % len(parts)
+    rotated = parts[r:] + parts[:r]
+    return sql[:m.start(1)] + ", ".join(rotated) + sql[m.end(1):]
+
+
 def plan_variants(spark: SparkSession, sql: str,
-                  strategies: tuple[str, ...] = HINT_STRATEGIES
-                  ) -> list[Candidate]:
+                  strategies: tuple[str, ...] = HINT_STRATEGIES,
+                  join_order_rotations: int = 2) -> list[Candidate]:
     """Distinct physical-plan candidates for one query: Catalyst default +
-    one variant per hint strategy applied to every relation, deduplicated by
-    pre-execution plan fingerprint."""
+    one variant per hint strategy applied to every relation + FROM-order
+    rotations (join-order exploration), deduplicated by pre-execution plan
+    fingerprint."""
     aliases = sorted(extract_aliases(sql))
     seen: set[str] = set()
     out: list[Candidate] = []
-    for name, text in ([("default", sql)] +
-                       [(s.lower(), with_hint(sql, s, aliases))
-                        for s in strategies]):
+    forms = ([("default", sql)] +
+             [(s.lower(), with_hint(sql, s, aliases)) for s in strategies] +
+             [(f"rot{r}", reorder_from_clause(sql, r))
+              for r in range(1, join_order_rotations + 1)])
+    for name, text in forms:
         try:
             df = spark.sql(text)
             tree = capture_plan(df, executed=False)

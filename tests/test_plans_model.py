@@ -278,3 +278,21 @@ def test_plan_variants_and_labeling(spark):
     first = lines[0].split("#####")[1]
     tree, ms = FZ.from_pg_json(first)
     assert ms > 0 and tree.preorder_ops()
+
+
+def test_join_order_rotation_variants(spark):
+    from active_query_optimizer_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+           "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+           "AND l.l_quantity > 10")
+    rot1 = EX.reorder_from_clause(sql, 1)
+    assert rot1 != sql and "FROM orders o, customer c, lineitem l" in rot1
+    # rotated SQL is still the same query
+    assert spark.sql(rot1).collect() == spark.sql(sql).collect()
+    # rotations widen the distinct-candidate set beyond hints alone
+    only_hints = EX.plan_variants(spark, sql, join_order_rotations=0)
+    with_rots = EX.plan_variants(spark, sql, join_order_rotations=2)
+    assert len(with_rots) >= len(only_hints)
+    assert any(c.variant.startswith("rot") for c in with_rots)
