@@ -272,3 +272,86 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive near-dup clustering (connected components + survivors)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         node_col: str = "doc_id",
+                         max_iters: int = 50) -> DataFrame:
+    """Min-label propagation over an undirected edge set: every node ends
+    with the smallest node id reachable from it (= component id).
+    Each iteration is one join + one min-aggregate; iterations are bounded
+    by the component diameter (label jumps shortcut it in practice — the
+    alternating-star trick would cut it to O(log n) if diameters ever grow).
+    Convergence is checked with a count of changed labels per round."""
+    a, b = F.col("src"), F.col("dst")
+    und = (edges.select(a.alias("u"), b.alias("v"))
+           .union(edges.select(b.alias("u"), a.alias("v"))))
+    labels = nodes.select(F.col(node_col).alias("u"),
+                          F.col(node_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (und.join(labels, und.v == labels.u)
+                        .groupBy(und.u.alias("n"))
+                        .agg(F.min("label").alias("nb_label")))
+        new_labels = (labels.join(neighbor_min, labels.u == neighbor_min.n,
+                                  "left")
+                      .select(F.col("u"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nb_label"),
+                                                 F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "u")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        if labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(node_col),
+                         F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {{PAIRS}}
+    ), und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(node, lab) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_survivor
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """.replace("{PAIRS}", _jaccard_oracle(
+        "TRUE", JACCARD_THRESHOLD, n=MINHASH_SHINGLE_N).replace(
+        "documents", "documents").strip()),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: the pair stream from
+    ``dedup_minhash_lsh`` becomes an undirected graph; connected components
+    by min-label propagation; the survivor of each cluster is its lowest
+    doc_id (transitive closure matters — A~B, B~C puts A and C in one
+    cluster even when A≁C directly; pair-level dedup would keep both)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(pairs, d.select("doc_id"))
+    return (d.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+            .withColumn("is_survivor",
+                        F.col("doc_id") == F.col("cluster_id")))
