@@ -954,3 +954,72 @@ def datetime_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("qtr"),
         (F.dayofweek("o_orderdate") - 1).alias("dow"))
         .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT o.o_orderkey FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+             AS last_orderkey
+    FROM events e
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's most recent order at or
+    before the event time (tie-break: highest orderkey). Spark has no ASOF
+    operator; the scale shape is the union+window trick — tag both inputs,
+    union, ONE shuffle on the key, one sort by (time, side, tie), and a
+    running ``last(ignorenulls)`` carries the latest order id forward onto
+    every event row. No range-join explosion, no per-row subquery."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    o_side = o.select(
+        F.col("o_custkey").alias("key"), F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"), F.col("o_orderkey").alias("carry"),
+        F.lit(None).cast("long").alias("event_id"))
+    e_side = e.select(
+        F.col("user_id").alias("key"), F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"), F.lit(None).cast("long").alias("carry"),
+        "event_id")
+    unioned = o_side.unionByName(e_side)
+    w = (Window.partitionBy("key")
+         .orderBy("t", "is_event", F.col("carry").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.withColumn(
+        "last_orderkey", F.last("carry", ignorenulls=True).over(w))
+    return (carried.where(F.col("is_event") == 1)
+            .select("event_id", "last_orderkey"))
+
+
+@register(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
+    )
+    SELECT b.band, COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events against a banded dimension on
+    ``lo <= value < hi``. Inequality conditions can't hash-partition — the
+    right plan is a broadcast nested-loop with the tiny band table on the
+    build side (at 100 TB the fact side never shuffles; for two LARGE
+    interval sets you'd bin both sides to equi-join keys first)."""
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e9)],
+        "band string, lo double, hi double")
+    return (e.join(F.broadcast(bands),
+                   (e.value >= bands.lo) & (e.value < bands.hi))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                  .cast("double").alias("sum_value")))
