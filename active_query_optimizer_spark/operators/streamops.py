@@ -64,3 +64,33 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     return sessionize_events(ev, gap="30 minutes")
+
+
+@register(
+    "hypertable_rollup_daily",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,6))) AS v
+      FROM events GROUP BY h, event_type
+    )
+    SELECT date_trunc('day', h) AS day, event_type,
+           SUM(n) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM hourly GROUP BY day, event_type
+    """,
+)
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: the daily aggregate is
+    RE-aggregated from hourly partials rather than raw rows — the
+    continuous-aggregate maintenance shape (counts and decimal sums are
+    reaggregable; avg/percentiles would carry (sum, count)/sketches).
+    At 100 TB the hourly layer is a materialized table and each day's
+    rollup touches 24 rows per key instead of the raw events."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(28,6)")).alias("v")))
+    return (hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 F.sum("v").cast("double").alias("sum_value")))
