@@ -54,16 +54,22 @@ def main() -> None:
     # warm up the JVM + parquet footer caches with a trivial action
     spark.range(1).count()
 
+    # best-of-N per query (default 2): the first run pays JIT/codegen and
+    # GC noise; min-of-runs is the standard benchmark estimator for the
+    # steady-state cost. Each run replans + re-executes from parquet.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -76,6 +82,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs_per_query": runs,
     }
     print(json.dumps(out))
 
