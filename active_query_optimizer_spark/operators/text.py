@@ -178,3 +178,61 @@ def text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         )
     )
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ \\t]+"
+
+
+@register(
+    "text_pattern_flags",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+           (len(regexp_extract_all(text, '{EMAIL_RE}')) > 0
+            OR len(regexp_extract_all(text, '{URL_RE}')) > 0) AS flagged
+    FROM documents
+    """,
+)
+def text_pattern_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish pattern screening (email/URL mention counts + flag) — the
+    filter stage every training-data pipeline runs before ingestion.
+    JVM-side regex (patterns chosen to mean the same thing in Java and
+    RE2-style engines); at 100 TB this is a pure map with the flag pushed
+    into the downstream scan filter."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE),
+                                           F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_RE),
+                                         F.lit(0)))
+    return d.select(
+        "doc_id", n_emails.alias("n_emails"), n_urls.alias("n_urls"),
+        ((n_emails > 0) | (n_urls > 0)).alias("flagged"))
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    SELECT tok AS term, COUNT(*) AS freq
+    FROM (SELECT unnest({tt.tokens_sql('lower(text)')}) AS tok FROM documents)
+    WHERE tok NOT IN {tuple(tt.STOPWORDS)!r} AND len(tok) >= 2
+    GROUP BY tok ORDER BY freq DESC, term LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 terms after stopword/short-token removal:
+    explode → map-side-combined count → TakeOrderedAndProject (only the
+    global top-k crosses the final exchange). Term tie-break pins the
+    LIMIT."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    toks = tt.tokens(F.lower(F.col("text")))
+    return (
+        d.select(F.explode(toks).alias("term"))
+        .where(~F.col("term").isin(*tt.STOPWORDS)
+               & (F.length("term") >= 2))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(20)
+    )
