@@ -801,7 +801,8 @@ def exchange_reuse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_extract_sum",
     oracle="""
     SELECT event_type,
-           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS cnt
     FROM events WHERE props IS NOT NULL GROUP BY event_type
     """,

@@ -42,7 +42,7 @@ def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH brk AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), sess AS (
@@ -75,7 +75,7 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY h, event_type
     )
     SELECT date_trunc('day', h) AS day, event_type,
-           SUM(n) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+           CAST(SUM(n) AS BIGINT) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
     FROM hourly GROUP BY day, event_type
     """,
 )

@@ -160,7 +160,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_summary",
     oracle=f"""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(len({tt.tokens_sql('text')})) AS total_tokens,
+           CAST(SUM(len({tt.tokens_sql('text')})) AS BIGINT) AS total_tokens,
            CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY lang, source
     """,

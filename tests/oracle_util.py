@@ -1,7 +1,14 @@
 """Local replica of the driver's DuckDB-oracle comparison: row count,
 schema (column names), and an order-insensitive value comparison after
 sorting columns by name. Strict equality — if this passes, the driver's
-value-hash should match."""
+value-hash should match.
+
+Dtype discipline: the driver's value-hash is *typed* — a DuckDB HUGEINT
+(SUM over ints) comes back through pandas as float64 while Spark emits
+int64, and the hashes diverge even though Python ``==`` says the values
+match (this was the round-1 ``props_extract_sum`` red row). So ``compare``
+also asserts per-column dtype *kind* equality (int family vs float vs
+bool vs datetime vs object) before comparing values."""
 
 from __future__ import annotations
 
@@ -11,6 +18,15 @@ import duckdb
 import pandas as pd
 
 from active_query_optimizer_spark.catalog import TABLES
+
+#: numpy dtype.kind → comparison family ('i' and 'u' collapse: the hash
+#: operates on Python ints either way; width is invisible post-tolist).
+_KIND_FAMILY = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "datetime", "m": "timedelta", "O": "object"}
+
+
+def dtype_family(dtype) -> str:
+    return _KIND_FAMILY.get(getattr(dtype, "kind", "O"), "object")
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
@@ -48,6 +64,14 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str = "?") -> None:
         f"{name}: column mismatch {sorted(sp.columns)} vs {sorted(oracle_df.columns)}")
     assert len(sp) == len(oracle_df), (
         f"{name}: row count {len(sp)} vs {len(oracle_df)}")
+    for col in sorted(sp.columns):
+        fa, fb = dtype_family(sp[col].dtype), dtype_family(oracle_df[col].dtype)
+        # an all-NULL column may surface as object on one side — only flag
+        # genuine int-vs-float / numeric-vs-object skew on non-empty data
+        if len(sp) and fa != "object" and fb != "object":
+            assert fa == fb, (
+                f"{name}: dtype-kind mismatch in column {col}: "
+                f"spark {sp[col].dtype} ({fa}) vs duckdb {oracle_df[col].dtype} ({fb})")
     a, b = _canon(sp), _canon(oracle_df)
     for col in a.columns:
         av, bv = list(a[col]), list(b[col])

@@ -38,9 +38,19 @@ for name in sorted(qs):
         print(f"  {name}: rows-only ({len(sp)})"); continue
     du = con.execute(osql[name]).fetchdf()
     ok = (sorted(sp.columns) == sorted(du.columns) and len(sp) == len(du))
+    why = "" if ok else "shape"
+    FAM = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "dt", "m": "td"}
+    if ok and len(sp):  # typed hash: int-vs-float dtype skew is a driver FAIL
+        for c in sp.columns:
+            fa = FAM.get(sp[c].dtype.kind, "obj")
+            fb = FAM.get(du[c].dtype.kind, "obj")
+            if fa != "obj" and fb != "obj" and fa != fb:
+                ok = False; why = f"dtype {c}: {sp[c].dtype} vs {du[c].dtype}"
+                break
     if ok:
         a, b = canon(sp), canon(du)
         ok = all(list(a[c]) == list(b[c]) for c in a.columns)
-    print(("  OK  " if ok else "  FAIL") + f" {name}")
+        if not ok: why = "values"
+    print(("  OK  " if ok else f"  FAIL[{why}]") + f" {name}")
     if not ok: bad.append(name)
 print("FAILURES:", bad if bad else "none")
