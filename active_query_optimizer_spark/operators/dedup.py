@@ -41,6 +41,9 @@ MINHASH_SHINGLE_N = 5     # 5-gram shingles: 3-grams of same-language text
                           # candidates approximate true near-dups
 LSH_BANDS = 21            # bands (uses 126 of the 128 minhash perms)
 COSINE_THRESHOLD = 0.45
+COSINE_SAMPLED_THRESHOLD = 0.3  # looser threshold for the sampled baseline
+                                # (like EXACT_THRESHOLD for the n-gram one)
+                                # so the 10% sample still yields pairs
 
 
 # ---------------------------------------------------------------------------
@@ -188,10 +191,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = common.cast("double") / (F.size("sa") + F.size("sb") - common)
     return (
-        # broadcast the candidate pairs (two longs per row, ≪ corpus) so
-        # the wide shingle table streams through both verification joins
-        # without ever being shuffled
-        x.join(F.broadcast(cand), "doc_a")
+        # verification joins are plain shuffle joins keyed on doc ids: on a
+        # near-dup-heavy corpus candidate pairs scale with the corpus, so a
+        # hard-coded broadcast of `cand` would blow the broadcast limit at
+        # 100 TB. Doc-id keys are unique per side (skew-safe), and AQE still
+        # downgrades to a broadcast join at runtime when cand is tiny.
+        x.join(cand, "doc_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -256,21 +261,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {vec.cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {vec.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    WHERE a.vec_id % {SAMPLE_MOD} = 0 AND b.vec_id % {SAMPLE_MOD} = 0
+      AND {vec.cosine_sql('a.embedding', 'b.embedding')}
+          >= {COSINE_SAMPLED_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, brute force) — the
-    correctness baseline for ``ann_*``. Left-to-right double folds keep
-    cosine bit-identical to the oracle."""
-    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    correctness baseline for ``ann_*``, restricted to a 10% id-sample like
+    the n-gram baseline: the all-pairs product is quadratic and must never
+    be the production path (that's ``ann_lsh_bucketed`` / ``ann_ivf_topk``).
+    Left-to-right double folds keep cosine bit-identical to the oracle."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id").filter(
+        F.col("vec_id") % SAMPLE_MOD == 0)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = vec.cosine(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+        .filter(F.col("cos_sim") >= COSINE_SAMPLED_THRESHOLD)
     )
 
 

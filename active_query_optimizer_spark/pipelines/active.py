@@ -41,7 +41,7 @@ def pool_default_plans(spark: SparkSession,
     rows = []
     for qid, sql in pool:
         cands = plan_variants(spark, sql, strategies=(),
-                              join_order_rotations=0)
+                              join_order_rotations=0, conf_variants=())
         if cands:
             rows.append((qid, to_pg_json(cands[0].plan)))
     return spark.createDataFrame(rows, "qid string, plan_json string")

@@ -18,7 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from ..model.lero import LeroModel
-from ..plans.explore import HINT_STRATEGIES, Candidate, plan_variants
+from ..plans.explore import (HINT_STRATEGIES, Candidate, _conf_overrides,
+                             plan_variants)
 
 
 def choose_plan(spark: SparkSession, sql: str, model: LeroModel,
@@ -39,6 +40,8 @@ def choose_plan(spark: SparkSession, sql: str, model: LeroModel,
 
 def run_optimized(spark: SparkSession, sql: str, model: LeroModel,
                   strategies: tuple[str, ...] = HINT_STRATEGIES) -> DataFrame:
-    """Execute ``sql`` under the learned-best join-strategy hints."""
+    """Execute ``sql`` under the learned-best join-strategy hints (and the
+    candidate's session-conf knobs, when the winner is a conf variant)."""
     best, _ = choose_plan(spark, sql, model, strategies)
-    return spark.sql(best.sql)
+    with _conf_overrides(spark, best.conf):
+        return spark.sql(best.sql)

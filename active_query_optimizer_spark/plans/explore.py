@@ -21,7 +21,9 @@ exists to minimize how often we pay it).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +31,75 @@ from ..workload.extract import extract_aliases
 from .featurize import PlanNode, capture_plan, plan_fingerprint, to_pg_json
 
 HINT_STRATEGIES = ("BROADCAST", "MERGE", "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL")
+
+#: Conf-knob exploration dimensions — the closest Spark analog of Lero's
+#: PG cardinality-scaling knobs (the Lero paper steers the native optimizer
+#: through its tuning GUCs; Spark's equivalents are the join-threshold and
+#: adaptive-execution switches). Each yields a candidate planned under a
+#: temporarily overridden session conf; the override is re-applied when the
+#: candidate is executed/labeled.
+CONF_VARIANTS: tuple[tuple[str, dict[str, str]], ...] = (
+    ("nobroadcast", {"spark.sql.autoBroadcastJoinThreshold": "-1"}),
+    ("noaqe", {"spark.sql.adaptive.enabled": "false"}),
+)
+
+#: executed-plan join node names (raw Spark vocabulary, pre-PG-mapping)
+_JOIN_NODE_NAMES = ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct")
+
+#: hint variant → Spark join nodes that prove the hint materialized
+_HINT_REALIZATION = {
+    "broadcast": {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+    "merge": {"SortMergeJoin"},
+    "shuffle_hash": {"ShuffledHashJoin"},
+    "shuffle_replicate_nl": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+}
+
+
+@contextmanager
+def _conf_overrides(spark: SparkSession, conf: dict[str, str]) -> Iterator[None]:
+    """Temporarily override session confs (saved/restored around planning
+    and labeling so candidate plans don't leak their knobs)."""
+    saved: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+def realized_join_strategies(df: DataFrame) -> tuple[str, ...]:
+    """Preorder join-node names of the *executed* (AQE-final) plan — the
+    ground truth of which strategy Catalyst actually ran (SURVEY §7.3c:
+    hints are requests, not commands; AQE can re-plan mid-query)."""
+    out: list[str] = []
+
+    def walk(jnode: Any) -> None:
+        name = jnode.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(jnode.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(jnode.plan())
+            return
+        for jn in _JOIN_NODE_NAMES:
+            if name.startswith(jn):
+                out.append(jn)
+                break
+        for i in range(jnode.children().size()):
+            walk(jnode.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return tuple(out)
 
 
 def with_hint(sql: str, strategy: str, aliases: list[str]) -> str:
@@ -50,6 +121,14 @@ class Candidate:
     fingerprint: str
     plan: PlanNode
     exec_time_ms: float | None = None
+    #: session-conf overrides this candidate was planned under (must be
+    #: re-applied to reproduce the plan at execution time)
+    conf: dict[str, str] = field(default_factory=dict)
+    #: executed-plan join node names (filled by ``label_query``)
+    realized_joins: tuple[str, ...] = ()
+    #: whether the requested hint materialized in the executed plan
+    #: (None for non-hint variants: default / rotations / conf knobs)
+    hint_realized: bool | None = None
 
     def to_bundle_json(self) -> str:
         return to_pg_json(self.plan, self.exec_time_ms)
@@ -78,29 +157,35 @@ def reorder_from_clause(sql: str, rotation: int) -> str:
 
 def plan_variants(spark: SparkSession, sql: str,
                   strategies: tuple[str, ...] = HINT_STRATEGIES,
-                  join_order_rotations: int = 2) -> list[Candidate]:
+                  join_order_rotations: int = 2,
+                  conf_variants: tuple[tuple[str, dict[str, str]], ...]
+                  = CONF_VARIANTS) -> list[Candidate]:
     """Distinct physical-plan candidates for one query: Catalyst default +
     one variant per hint strategy applied to every relation + FROM-order
-    rotations (join-order exploration), deduplicated by pre-execution plan
-    fingerprint."""
+    rotations (join-order exploration) + session-conf knob variants,
+    deduplicated by pre-execution plan fingerprint."""
     aliases = sorted(extract_aliases(sql))
     seen: set[str] = set()
     out: list[Candidate] = []
-    forms = ([("default", sql)] +
-             [(s.lower(), with_hint(sql, s, aliases)) for s in strategies] +
-             [(f"rot{r}", reorder_from_clause(sql, r))
-              for r in range(1, join_order_rotations + 1)])
-    for name, text in forms:
+    forms: list[tuple[str, str, dict[str, str]]] = (
+        [("default", sql, {})] +
+        [(s.lower(), with_hint(sql, s, aliases), {}) for s in strategies] +
+        [(f"rot{r}", reorder_from_clause(sql, r), {})
+         for r in range(1, join_order_rotations + 1)] +
+        [(name, sql, conf) for name, conf in conf_variants])
+    for name, text, conf in forms:
         try:
-            df = spark.sql(text)
-            tree = capture_plan(df, executed=False)
+            with _conf_overrides(spark, conf):
+                df = spark.sql(text)
+                tree = capture_plan(df, executed=False)
         except Exception:
             continue  # hint form Catalyst refuses outright
         fp = plan_fingerprint(tree)
         if fp in seen:
             continue
         seen.add(fp)
-        out.append(Candidate(variant=name, sql=text, fingerprint=fp, plan=tree))
+        out.append(Candidate(variant=name, sql=text, fingerprint=fp,
+                             plan=tree, conf=conf))
     return out
 
 
@@ -116,16 +201,32 @@ def label_query(spark: SparkSession, sql: str,
     """Execute every distinct variant of ``sql``; attach wall time and the
     AQE-final executed plan (with actual ``numOutputRows``) to each
     candidate — one labeled bundle, the reference's
-    ``qid#####planJSON…`` line content."""
+    ``qid#####planJSON…`` line content.
+
+    Post-execution discipline (SURVEY §7.3c): hints are requests — the
+    *realized* strategy is read back from the executed plan
+    (``realized_joins`` / ``hint_realized``), and variants whose executed
+    plan collapsed into an already-labeled one are dropped, so a bundle
+    never contains two labels for the same physical plan."""
     labeled: list[Candidate] = []
+    seen_realized: set[str] = set()
     for cand in plan_variants(spark, sql, strategies):
-        df = spark.sql(cand.sql)
-        ms = _time_execution(df)
-        executed = capture_plan(df, executed=True)
+        with _conf_overrides(spark, cand.conf):
+            df = spark.sql(cand.sql)
+            ms = _time_execution(df)
+            executed = capture_plan(df, executed=True)
+            realized = realized_join_strategies(df)
+        fp = plan_fingerprint(executed)
+        if fp in seen_realized:
+            continue  # hint requested, Catalyst/AQE ran the same plan anyway
+        seen_realized.add(fp)
+        expect = _HINT_REALIZATION.get(cand.variant)
         labeled.append(Candidate(
             variant=cand.variant, sql=cand.sql,
-            fingerprint=plan_fingerprint(executed),
-            plan=executed, exec_time_ms=ms))
+            fingerprint=fp, plan=executed, exec_time_ms=ms, conf=cand.conf,
+            realized_joins=realized,
+            hint_realized=(None if expect is None
+                           else bool(expect.intersection(realized)))))
     return labeled
 
 

@@ -73,15 +73,12 @@ def lsh_partition(df: DataFrame, vec_col: str = "norm_vec",
     (``coreset.py:5-46``: MinHash of ``np.where(vec > 0)``)."""
     from pyspark.ml.feature import MinHashLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql.types import ArrayType, DoubleType
 
-    dim = len(df.select(vec_col).first()[0])
-
-    @F.udf(ArrayType(DoubleType()))
-    def _binarize(vec):
-        return [1.0 if v > 0 else 0.0 for v in vec]
-
-    with_bin = df.withColumn("__bin", array_to_vector(_binarize(F.col(vec_col))))
+    # binarize JVM-side (positive dims → 1.0) — a higher-order function,
+    # not a Python UDF, so the whole pre-LSH stage stays in codegen
+    binarized = F.transform(
+        F.col(vec_col), lambda v: F.when(v > 0, 1.0).otherwise(0.0))
+    with_bin = df.withColumn("__bin", array_to_vector(binarized))
     mh = MinHashLSH(inputCol="__bin", outputCol="__hashes",
                     numHashTables=num_hash_tables, seed=seed)
     hashed = mh.fit(with_bin).transform(with_bin)

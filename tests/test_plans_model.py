@@ -296,3 +296,52 @@ def test_join_order_rotation_variants(spark):
     with_rots = EX.plan_variants(spark, sql, join_order_rotations=2)
     assert len(with_rots) >= len(only_hints)
     assert any(c.variant.startswith("rot") for c in with_rots)
+
+
+def test_conf_knob_variants_widen_candidates(spark):
+    """SURVEY §7.3c / Lero knob analog: session-conf dimensions
+    (autoBroadcastJoinThreshold, AQE) add genuinely distinct plans and
+    the overrides never leak out of planning."""
+    from active_query_optimizer_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    sql = ("SELECT COUNT(*) FROM customer c, nation n "
+           "WHERE c.c_nationkey = n.n_nationkey")
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    no_knobs = EX.plan_variants(spark, sql, strategies=(),
+                                join_order_rotations=0, conf_variants=())
+    with_knobs = EX.plan_variants(spark, sql, strategies=(),
+                                  join_order_rotations=0)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert len(with_knobs) > len(no_knobs)  # -1 threshold forces a non-
+    assert any(c.variant == "nobroadcast" and c.conf for c in with_knobs)
+    # broadcast join plan distinct from the default broadcast one
+    fps = {c.fingerprint for c in with_knobs}
+    assert len(fps) == len(with_knobs)
+
+
+def test_label_query_realized_strategies(spark):
+    """The executed plan, not the hint, is the label: candidates record
+    realized join nodes, hint_realized is checked against them, and
+    realized-duplicate plans are dropped from the bundle."""
+    from active_query_optimizer_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    sql = ("SELECT COUNT(*) FROM customer c, nation n "
+           "WHERE c.c_nationkey = n.n_nationkey")
+    labeled = EX.label_query(spark, sql)
+    assert labeled, "no labeled candidates"
+    # every labeled candidate ran at least one join and recorded it
+    assert all(c.realized_joins for c in labeled)
+    # bundles contain no realized-duplicate plans
+    fps = [c.fingerprint for c in labeled]
+    assert len(fps) == len(set(fps))
+    # >=2 realized-distinct join strategies for the flagship-style query
+    strategies = {c.realized_joins for c in labeled}
+    assert len(strategies) >= 2, strategies
+    # hinted variants are verified against the executed plan
+    for c in labeled:
+        if c.variant in EX._HINT_REALIZATION:
+            assert c.hint_realized is True, (c.variant, c.realized_joins)
+        else:
+            assert c.hint_realized is None
