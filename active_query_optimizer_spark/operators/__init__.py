@@ -17,7 +17,7 @@ from . import relational  # noqa: F401
 from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
-             "pipelineops", "streamops"):
+             "pipelineops", "streamops", "curation"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover - partial checkout
@@ -51,17 +51,21 @@ _DRIVER_ORDER = [
     "hypertable_rollup_daily",
     # --- round-1 red, oracle fixed (1)
     "props_extract_sum",
-    # --- round-1 green, kept in-window (21): joins/aggs/dedup flagships
+    # --- new in round 2: curation ops, need their first driver row (3)
+    "decontam_ngram_overlap", "pack_sequences_budget",
+    "sample_balanced_per_lang",
+    # --- round-1 green, kept in-window (18): joins/aggs/dedup flagships
     "flagship_multijoin_count", "sevenway_join_count",
     "transitive_equijoin_count", "skew_salted_join_count",
     "asof_join_events_orders", "range_join_value_bands",
     "outer_join_count_per_customer", "in_subquery_count",
     "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
-    "groupby_agg", "pricing_summary", "rollup_agg", "cube_agg",
-    "grouping_sets_agg", "dedup_exact_docs", "dedup_fingerprint_survivors",
+    "groupby_agg", "pricing_summary",
+    "dedup_exact_docs", "dedup_fingerprint_survivors",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     # ---------------- driver window boundary (50) ----------------
-    # --- round-1 green basics, rotated to the tail (28)
+    # --- round-1 green basics, rotated to the tail (31)
+    "rollup_agg", "cube_agg", "grouping_sets_agg",
     "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "broadcast_join_count", "nested_loop_theta_count",
     "self_join_count", "min_projection_job_style",

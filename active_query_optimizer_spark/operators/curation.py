@@ -1,0 +1,181 @@
+"""Training-data curation operators — the corpus-preparation steps a
+large-scale LLM data pipeline runs between dedup and training, expressed
+Spark-first with exact DuckDB oracles:
+
+- **decontamination** (`decontam_ngram_overlap`): flag corpus documents
+  whose character-5-gram shingles overlap a benchmark/eval set — the
+  n-gram-overlap decontamination used for pretraining corpora (the same
+  shingle primitive as `operators/dedup`, pointed at an eval suite instead
+  of the corpus itself);
+- **sequence packing** (`pack_sequences_budget`): assign documents to
+  fixed token-budget training sequences with a per-source running token
+  total — the streaming analog of example packing, one window scan, no
+  shuffle beyond the source partitioning;
+- **balanced sampling** (`sample_balanced_per_lang`): per-language quota
+  sampling by deterministic pseudo-random rank — capping dominant
+  languages without a global sort.
+
+All three are pure JVM Column expressions (no UDFs); the curation
+decisions (flags, bin ids, sample picks) are integers/booleans, so the
+driver's value-hash is exact.
+
+Scale notes are per-operator; the common theme is that each touches the
+corpus once and shuffles only keys + small aggregates, never text bodies
+(except the packing groupBy, which carries two longs per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_for_compute
+from ..functions import texttools as tt
+from .registry import register
+
+#: benchmark/eval split for decontamination: a deterministic thin slice of
+#: doc ids stands in for the held-out eval suite
+DECONTAM_BENCH_MOD = 97
+#: shared-shingle count at which a document counts as contaminated
+DECONTAM_MIN_SHARED = 3
+#: n-gram width reused from the dedup family (5-grams discriminate;
+#: see operators/dedup.py MINHASH_SHINGLE_N)
+DECONTAM_SHINGLE_N = 5
+
+#: token budget per packed training sequence
+PACK_TOKEN_BUDGET = 256
+
+#: per-language sample quota
+LANG_SAMPLE_CAP = 40
+#: multiplicative pseudo-random key (Lehmer/MINSTD multiplier); small
+#: enough that doc_id * MULT stays far below int64 overflow at any SF —
+#: overflow semantics differ between engines, so headroom is correctness
+SAMPLE_MULT = 48271
+SAMPLE_MOD = 65537
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({tt.shingle_hashes_sql('text', DECONTAM_SHINGLE_N)}) AS g
+      FROM documents WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ),
+    ex AS (
+      SELECT DISTINCT doc_id,
+             unnest({tt.shingle_hashes_sql('text', DECONTAM_SHINGLE_N)}) AS g
+      FROM documents WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           COUNT(*) >= {DECONTAM_MIN_SHARED} AS contaminated
+    FROM ex e JOIN bench b ON e.g = b.g
+    GROUP BY e.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count each corpus document's distinct
+    5-gram shingles that also occur anywhere in the benchmark slice; flag
+    docs at ``>= DECONTAM_MIN_SHARED`` shared shingles.
+
+    Scale: the benchmark shingle set is the *eval suite* — bounded by
+    construction (thousands of documents, not the corpus) — so it is
+    explicitly broadcast and the corpus is never shuffled: one scan,
+    map-side join, then a groupBy on doc_id whose payload is one long."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    sh = tt.shingle_hashes(F.col("text"), n=DECONTAM_SHINGLE_N)
+    bench = (d.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+             .select(F.explode(sh).alias("g")).distinct())
+    corpus = (d.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+              .select("doc_id", F.explode(sh).alias("g")))
+    # shingle arrays are already distinct per doc (array_distinct in
+    # texttools), so (doc_id, g) needs no extra dedup before counting
+    return (corpus.join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .select("doc_id", "n_shared",
+                    (F.col("n_shared") >= DECONTAM_MIN_SHARED)
+                    .alias("contaminated")))
+
+
+@register(
+    "pack_sequences_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len({tt.tokens_sql('text')}) AS n_tok
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, n_tok,
+             CAST(FLOOR(CAST(COALESCE(SUM(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) / {PACK_TOKEN_BUDGET}.0) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+    FROM binned GROUP BY source, seq_id
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: within each source (doc_id order), a
+    document joins the training sequence where its first token lands —
+    ``seq_id = floor(tokens_before / budget)``. Summary per packed
+    sequence: document count and token total.
+
+    Scale: ONE shuffle on source — loading repartitions by source so the
+    window reuses that partitioning, and the groupBy reuses it again;
+    per-row state is two longs. (Parallelism is bounded by distinct
+    sources, inherent to per-source packing — a real pipeline's source key
+    is fine-grained: shard files, crawl segments.) The greedy variant (reorder
+    docs to minimize padding) is deliberately NOT this operator — it is
+    sequential per partition and belongs in an applyInPandas like
+    ``select/coreset.greedy_k_center`` if padding efficiency ever pays for
+    the extra pass."""
+    d = load_for_compute(spark, sf_dir, "documents", "source")
+    n_tok = F.size(tt.tokens(F.col("text")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    seq_id = F.floor(cum_before.cast("double") / float(PACK_TOKEN_BUDGET))
+    return (d.select("source", "doc_id", n_tok.alias("n_tok"))
+            .withColumn("seq_id", seq_id.cast("bigint"))
+            .groupBy("source", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("seq_tokens")))
+
+
+@register(
+    "sample_balanced_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {LANG_SAMPLE_CAP}
+    """,
+)
+def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced quota sample: at most ``LANG_SAMPLE_CAP`` docs per
+    language, picked by a deterministic multiplicative pseudo-random rank
+    (doc_id tie-break makes the pick total-ordered, hence reproducible
+    across engines and partitionings).
+
+    Scale: per-group top-k via rank-and-filter — one shuffle on lang; with
+    heavy skew (one dominant language) the partial top-k per map partition
+    (``F.min_by``-style pre-aggregation or AQE skew split) bounds any
+    single reducer, and no text bodies move — only (doc_id, lang)."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    pk = (F.col("doc_id") * SAMPLE_MULT) % SAMPLE_MOD
+    w = Window.partitionBy("lang").orderBy(pk, "doc_id")
+    return (d.select("doc_id", "lang")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= LANG_SAMPLE_CAP)
+            .select("doc_id", "lang"))

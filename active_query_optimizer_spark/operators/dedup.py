@@ -298,8 +298,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     alternating-star trick would cut it to O(log n) if diameters ever grow).
     Convergence is checked with a count of changed labels per round."""
     a, b = F.col("src"), F.col("dst")
+    # persist the symmetrized edge list: every iteration joins against it,
+    # and its lineage may be an entire LSH pipeline (dedup_minhash_clusters)
+    # that must not re-execute once per round
     und = (edges.select(a.alias("u"), b.alias("v"))
-           .union(edges.select(b.alias("u"), a.alias("v"))))
+           .union(edges.select(b.alias("u"), a.alias("v")))).persist()
     labels = nodes.select(F.col(node_col).alias("u"),
                           F.col(node_col).alias("label"))
     for _ in range(max_iters):
@@ -322,6 +325,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    und.unpersist()
     return labels.select(F.col("u").alias(node_col),
                          F.col("label").alias("cluster_id"))
 
@@ -355,10 +359,19 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by min-label propagation; the survivor of each cluster is its lowest
     doc_id (transitive closure matters — A~B, B~C puts A and C in one
     cluster even when A≁C directly; pair-level dedup would keep both)."""
+    # persist the pair stream: three consumers (symmetrized edges ×2 via
+    # union, touched-node set) would each re-run the LSH pipeline otherwise
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
     d = load_table(spark, sf_dir, "documents")
-    comp = connected_components(pairs, d.select("doc_id"))
+    # propagate labels only over nodes that occur in some edge — singleton
+    # docs never change label, and the final left join re-attaches them as
+    # their own cluster. At near-dup rates of a few percent this shrinks
+    # every per-iteration join from |corpus| to |touched nodes|.
+    touched = (pairs.select(F.col("src").alias("doc_id"))
+               .union(pairs.select(F.col("dst").alias("doc_id")))
+               .distinct())
+    comp = connected_components(pairs, touched)
     return (d.select("doc_id")
             .join(comp, "doc_id", "left")
             .select("doc_id",

@@ -10,6 +10,10 @@ consumes exactly these cosine primitives.
 from __future__ import annotations
 
 import random
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,15 +78,33 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _table_bucket(emb_col, table: int) -> F.Column:
-    """Sign-bit bucket id of one LSH table (module-seeded hyperplanes,
-    deterministic). Encoded with the table index so different tables never
-    collide on the join key."""
-    bucket = F.lit(table << BITS_PER_TABLE).cast("long")
-    for i, plane in enumerate(HYPERPLANES[table]):
-        proj = vec.dot(emb_col, F.array(*[F.lit(x) for x in plane]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return bucket
+def _lsh_table_buckets(emb_col) -> F.Column:
+    """All ``LSH_TABLES`` bucket ids per embedding, via ONE Arrow-batched
+    numpy matmul (rows × 64 planes). Deliberately a pandas UDF, like the
+    OPH MinHash signatures: unrolling 8 tables × 8 planes × 64 dims into
+    Catalyst fold expressions builds a ~10k-node tree whose per-plan
+    analysis + codegen costs seconds — orders of magnitude above the
+    actual math. Each bucket id is tagged with its table index
+    (``table << BITS_PER_TABLE``) so tables never collide on the join key.
+    (UDF constructed per call: ``pandas_udf`` needs an active session.)
+    """
+    @F.pandas_udf("array<long>")
+    def _buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = np.asarray(HYPERPLANES, dtype=np.float64)    # (T, B, D)
+        mat = planes.reshape(-1, EMB_DIM).T                   # (D, T*B)
+        tags = (np.arange(LSH_TABLES, dtype=np.int64) << BITS_PER_TABLE)
+        weights = (1 << np.arange(BITS_PER_TABLE, dtype=np.int64))
+        for s in batches:
+            if s.empty:
+                yield pd.Series([], dtype=object)
+                continue
+            emb = np.stack(s.to_numpy()).astype(np.float64)   # (n, D)
+            bits = (emb @ mat) > 0                            # (n, T*B)
+            bits = bits.reshape(len(emb), LSH_TABLES, BITS_PER_TABLE)
+            buckets = tags + (bits * weights).sum(axis=2)     # (n, T)
+            yield pd.Series(list(buckets))
+
+    return _buckets(emb_col)
 
 
 @register("ann_lsh_bucketed")
@@ -94,18 +116,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — a query probes 9 of 256 buckets per table instead of scanning
     the corpus, and table count tunes the recall/cost curve."""
     e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
-    buckets = F.array(*[_table_bucket(F.col("embedding"), t)
-                        for t in range(LSH_TABLES)])
-    base = e.select("vec_id", "embedding", F.explode(buckets).alias("bucket"))
+    base = e.select("vec_id", "embedding",
+                    F.explode(_lsh_table_buckets(F.col("embedding")))
+                    .alias("bucket"))
     q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
-    # probe set per table: own bucket + every 1-bit flip
-    qbuckets = [_table_bucket(F.col("embedding"), t) for t in range(LSH_TABLES)]
-    probes = F.explode(F.array(*(
-        [b for b in qbuckets]
-        + [b.bitwiseXOR(F.lit(1 << i)) for b in qbuckets for i in range(BITS_PER_TABLE)]
-    ))).alias("probe")
-    qp = q.select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("qe"), probes)
+    # probe set per table: own bucket + every 1-bit flip — 9 cheap XORs
+    # over the materialized bucket array per table
+    qb = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"),
+                  _lsh_table_buckets(F.col("embedding")).alias("bks"))
+    probe_arrays = F.flatten(F.transform(
+        F.col("bks"),
+        lambda b: F.array(*([b] + [b.bitwiseXOR(F.lit(1 << i))
+                                   for i in range(BITS_PER_TABLE)]))))
+    qp = qb.select("query_id", "qe", F.explode(probe_arrays).alias("probe"))
     cand = (
         qp.join(base.hint("shuffle_hash"), F.col("probe") == F.col("bucket"))
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -48,3 +48,41 @@ def run_dynamic(spark: SparkSession, batches: list[list[Bundle]],
         loss_series.append(ranking_loss(scored))
         scored.unpersist()
     return {"latency_series": latency_series, "ranking_loss_series": loss_series}
+
+
+def run_deployment(spark: SparkSession,
+                   train_batches: list[list[Bundle]],
+                   valid_batches: list[list[Bundle]],
+                   epochs: int = 50, seed: int = 0) -> dict:
+    """Deployment variant with a dedicated evaluation split
+    (``Lero/deployment.py:16-46``): unlike ``run_dynamic`` (which evaluates
+    on the *next training batch*), each batch carries its own ``valid_i``
+    bundle set, and the series is
+
+    - model_0 = bootstrap trained on the FIRST bundle of ``train_1`` only
+      (``deployment.py:11-14`` seeds ``train_0`` with ``train_1``'s first
+      line), evaluated on ``valid_1``;
+    - model_i = trained on ``train_i``, evaluated on ``valid_{i+1}``
+      (the final training batch is never trained on — the reference loop
+      skips ``i == num_batch``).
+
+    Returns the per-batch chosen-plan latency series
+    (``lero_latency_list``) and ranking losses, one entry per valid split.
+    """
+    if len(train_batches) != len(valid_batches):
+        raise ValueError("train/valid batch counts must match")
+    if not train_batches or not train_batches[0]:
+        return {"latency_series": [], "ranking_loss_series": []}
+    bootstrap = [train_batches[0][0]]
+    model_train_sets = [bootstrap] + train_batches[:-1]
+    latency_series: list[float] = []
+    loss_series: list[float] = []
+    for i, (train, valid) in enumerate(zip(model_train_sets, valid_batches)):
+        model = train_pairwise_from_bundles(train, epochs=epochs,
+                                            seed=seed + i)
+        scored = _score_bundles(spark, valid, model).cache()
+        report = selection_report(scored)
+        latency_series.append(report["sum"])
+        loss_series.append(ranking_loss(scored))
+        scored.unpersist()
+    return {"latency_series": latency_series, "ranking_loss_series": loss_series}

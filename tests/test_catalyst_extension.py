@@ -1,0 +1,89 @@
+"""Catalyst-extension injection (SURVEY §4.1 north star): the compiled
+``SparkSessionExtensionsProvider`` must change *physical plans* through the
+config-gated injected rule, and the Python learned-choice path must steer
+it. Runs in a subprocess: extensions only load at session creation, and the
+shared test session must stay extension-free."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from active_query_optimizer_spark.plans.extension import extension_jar
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+from active_query_optimizer_spark.plans import extension as XT
+from active_query_optimizer_spark.plans.explore import realized_join_strategies
+from active_query_optimizer_spark.catalog import register_views
+
+spark = (XT.configure_builder(SparkSession.builder.master("local[4]"))
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+assert XT.is_extension_loaded(spark)
+register_views(spark, %(sf)r)
+
+def joins(sql):
+    df = spark.sql(sql)
+    df.collect()
+    return realized_join_strategies(df)
+
+hinted = ("SELECT /*+ MERGE(n) */ COUNT(*) FROM customer c "
+          "JOIN nation n ON c.c_nationkey = n.n_nationkey")
+plain = ("SELECT COUNT(*) FROM customer c "
+         "JOIN nation n ON c.c_nationkey = n.n_nationkey")
+
+# mode off: the user's MERGE hint wins -> sort-merge join
+spark.conf.set(XT.MODE_KEY, "off")
+assert joins(hinted) == ("SortMergeJoin",), "off/hinted"
+# strip-hints: injected rule clears the hint -> Catalyst broadcasts nation
+spark.conf.set(XT.MODE_KEY, "strip-hints")
+assert joins(hinted) == ("BroadcastHashJoin",), "strip/hinted"
+# force-broadcast beats a disabled auto-broadcast threshold
+spark.conf.set(XT.MODE_KEY, "off")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+assert joins(plain) == ("SortMergeJoin",), "off/plain"
+spark.conf.set(XT.MODE_KEY, "force-broadcast")
+assert joins(plain) == ("BroadcastHashJoin",), "force/plain"
+
+# learned choice through the extension: mode candidates are plan-distinct,
+# a fitted ranker picks one, and run_optimized executes under its conf
+spark.conf.set(XT.MODE_KEY, "off")
+cands = XT.plan_mode_candidates(spark, plain)
+assert len(cands) >= 2, [c.variant for c in cands]
+assert len({c.fingerprint for c in cands}) == len(cands)
+
+from active_query_optimizer_spark.model.lero import LeroModel
+from active_query_optimizer_spark.plans.featurize import FeatureGenerator
+fg = FeatureGenerator()
+fg.fit([c.plan for c in cands])
+model = LeroModel(fg)
+model.fit([fg.transform_tree(c.plan) for c in cands],
+          [float(i + 1) for i in range(len(cands))], epochs=5)
+best, scored = XT.choose_mode(spark, plain, model)
+assert len(scored) == len(cands)
+rows = XT.run_optimized(spark, plain, model).collect()
+assert rows[0][0] > 0
+# the mode override did not leak into the session
+assert spark.conf.get(XT.MODE_KEY) == "off"
+print("EXTENSION-OK")
+"""
+
+
+@pytest.mark.skipif(extension_jar() is None,
+                    reason="extension jar not built (jvmext/build.sh)")
+def test_injected_rule_changes_physical_plan():
+    script = _SCRIPT % {"repo": REPO, "sf": "/root/testdata/sf0.001"}
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "EXTENSION-OK" in proc.stdout

@@ -1,0 +1,70 @@
+"""Curation-operator properties (oracle parity itself is covered by the
+registry sweep in test_relational): semantic invariants + the plan shapes
+the 100 TB story depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from active_query_optimizer_spark.operators import QUERIES
+from active_query_optimizer_spark.operators.curation import (
+    DECONTAM_MIN_SHARED, LANG_SAMPLE_CAP, PACK_TOKEN_BUDGET)
+
+from .conftest import SF_SMALL
+
+
+def test_decontam_flags_and_broadcast_plan(spark):
+    df = QUERIES["decontam_ngram_overlap"](spark, SF_SMALL)
+    rows = df.collect()
+    assert rows
+    # flag is exactly the threshold predicate, and benchmark docs are absent
+    from active_query_optimizer_spark.operators.curation import \
+        DECONTAM_BENCH_MOD
+    for r in rows:
+        assert r["contaminated"] == (r["n_shared"] >= DECONTAM_MIN_SHARED)
+        assert r["doc_id"] % DECONTAM_BENCH_MOD != 0
+    # the bounded benchmark side must broadcast (corpus never shuffles)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_budget_invariants(spark):
+    out = {(r["source"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+           for r in QUERIES["pack_sequences_budget"](spark, SF_SMALL).collect()}
+    assert out
+    for (source, seq_id), (n_docs, seq_tokens) in out.items():
+        assert n_docs >= 1
+        assert seq_id >= 0
+    # per-source seq_ids are contiguous from 0 (first-token binning can
+    # skip no bin: a doc landing past a bin boundary still starts inside
+    # the bin its first token falls in)
+    by_source: dict[str, list[int]] = {}
+    for (source, seq_id) in out:
+        by_source.setdefault(source, []).append(seq_id)
+    for source, ids in by_source.items():
+        ids = sorted(ids)
+        assert ids == list(range(len(ids))), (source, ids)
+    # token conservation: bins partition the corpus's tokens
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.functions import texttools as tt
+    total = (load_table(spark, SF_SMALL, "documents")
+             .select(F.sum(F.size(tt.tokens(F.col("text")))).alias("t"))
+             .collect()[0]["t"])
+    assert sum(t for _, t in out.values()) == total
+    # single-exchange plan: the groupBy reuses the window's partitioning
+    df = QUERIES["pack_sequences_budget"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sample_balanced_per_lang_quota(spark):
+    rows = QUERIES["sample_balanced_per_lang"](spark, SF_SMALL).collect()
+    assert rows
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert all(n <= LANG_SAMPLE_CAP for n in per_lang.values()), per_lang
+    # determinism: two runs pick the identical sample
+    again = {(r["doc_id"], r["lang"])
+             for r in QUERIES["sample_balanced_per_lang"](spark, SF_SMALL).collect()}
+    assert {(r["doc_id"], r["lang"]) for r in rows} == again

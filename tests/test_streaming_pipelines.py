@@ -10,7 +10,8 @@ import pytest
 
 from tests.conftest import SF_SMALL
 
-from active_query_optimizer_spark.pipelines import run_dynamic, run_stable
+from active_query_optimizer_spark.pipelines import (run_deployment,
+                                                    run_dynamic, run_stable)
 from active_query_optimizer_spark.streaming.incremental import (
     IncrementalTrainer, incremental_retrain_stream)
 from active_query_optimizer_spark.streaming.windowed import (
@@ -51,6 +52,24 @@ def test_dynamic_pipeline_series(spark):
     assert len(out["latency_series"]) == 2
     assert len(out["ranking_loss_series"]) == 2
     assert all(v > 0 for v in out["latency_series"])
+
+
+def test_deployment_pipeline_valid_split_series(spark):
+    """``Lero/deployment.py:16-46`` parity: 10 (train_i, valid_i) batches →
+    a 10-entry latency series — model_0 bootstraps from train_1's first
+    bundle and each later model i evaluates on valid_{i+1}."""
+    from tests.test_plans_model import _synthetic_bundles
+
+    n = 10
+    trains = [_synthetic_bundles(6, seed=s) for s in range(n)]
+    valids = [_synthetic_bundles(4, seed=100 + s) for s in range(n)]
+    out = run_deployment(spark, trains, valids, epochs=10)
+    assert len(out["latency_series"]) == n
+    assert len(out["ranking_loss_series"]) == n
+    assert all(v > 0 for v in out["latency_series"])
+    # mismatched splits are rejected loudly
+    with pytest.raises(ValueError):
+        run_deployment(spark, trains, valids[:-1])
 
 
 # ------------------------------------------------------------- streaming
