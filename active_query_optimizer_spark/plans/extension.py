@@ -10,8 +10,10 @@ the Python side steers it per-query through ``spark.learned.join.mode``:
 - ``off``            — Catalyst untouched;
 - ``strip-hints``    — user join hints cleared (the learned optimizer owns
   strategy choice);
-- ``force-broadcast``— broadcast requested for the build side of hint-less
-  joins (the learned broadcast decision applied without touching SQL).
+- ``force-broadcast`` / ``force-merge`` / ``force-shuffle-hash`` — the
+  named strategy requested for the build side of hint-less joins (the
+  learned decision applied without touching SQL, same strategy space as
+  the hint explorer).
 
 The extension must be loaded at session creation
 (``spark.sql.extensions=org.aqo.spark.LearnedJoinExtensions`` with the jar
@@ -34,7 +36,8 @@ from .featurize import capture_plan, plan_fingerprint
 
 EXTENSION_CLASS = "org.aqo.spark.LearnedJoinExtensions"
 MODE_KEY = "spark.learned.join.mode"
-MODES = ("off", "strip-hints", "force-broadcast")
+MODES = ("off", "strip-hints", "force-broadcast", "force-merge",
+         "force-shuffle-hash")
 
 
 def extension_jar() -> str | None:

@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.plans.logical.HintInfo;
 import org.apache.spark.sql.catalyst.plans.logical.Join;
 import org.apache.spark.sql.catalyst.plans.logical.JoinHint;
 import org.apache.spark.sql.catalyst.plans.logical.JoinHint$;
+import org.apache.spark.sql.catalyst.plans.logical.JoinStrategyHint;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_HASH$;
+import org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_MERGE$;
 import org.apache.spark.sql.catalyst.rules.Rule;
 import scala.Option;
 import scala.Some;
@@ -30,9 +33,11 @@ import scala.runtime.BoxedUnit;
  *   <li>{@code strip-hints} — clear user join-strategy hints from every
  *       Join node, returning strategy choice to Catalyst + the learned
  *       conf knobs (the learned optimizer overrides manual hints);</li>
- *   <li>{@code force-broadcast} — request a broadcast of the right
- *       (build) side of every hint-less join: the learned choice of a
- *       broadcast-hash strategy applied without touching query text.</li>
+ *   <li>{@code force-broadcast} / {@code force-merge} /
+ *       {@code force-shuffle-hash} — request that strategy for every
+ *       hint-less join (build side = right): the learned choice applied
+ *       without touching query text, covering the same strategy space as
+ *       the SQL-hint explorer.</li>
  * </ul>
  *
  * Load with:
@@ -64,15 +69,24 @@ public class LearnedJoinExtensions implements SparkSessionExtensionsProvider {
         @Override
         public LogicalPlan apply(LogicalPlan plan) {
             String mode = conf().getConfString(MODE_KEY, "off");
-            if (mode.equals("strip-hints")) {
-                return rewriteJoins(plan, true);
-            } else if (mode.equals("force-broadcast")) {
-                return rewriteJoins(plan, false);
+            switch (mode) {
+                case "strip-hints":
+                    return rewriteJoins(plan, null);
+                case "force-broadcast":
+                    return rewriteJoins(plan, BROADCAST$.MODULE$);
+                case "force-merge":
+                    return rewriteJoins(plan, SHUFFLE_MERGE$.MODULE$);
+                case "force-shuffle-hash":
+                    return rewriteJoins(plan, SHUFFLE_HASH$.MODULE$);
+                default:
+                    return plan;
             }
-            return plan;
         }
 
-        private static LogicalPlan rewriteJoins(LogicalPlan plan, boolean strip) {
+        /** strategy == null means strip hints; otherwise request that
+         *  strategy on the right (build) side of hint-less joins. */
+        private static LogicalPlan rewriteJoins(LogicalPlan plan,
+                                                JoinStrategyHint strategy) {
             return (LogicalPlan) plan.transformUp(
                 new AbstractPartialFunction<LogicalPlan, LogicalPlan>() {
                     @Override
@@ -82,18 +96,18 @@ public class LearnedJoinExtensions implements SparkSessionExtensionsProvider {
                         }
                         JoinHint h = ((Join) p).hint();
                         boolean hasHint = !h.equals(JoinHint$.MODULE$.NONE());
-                        return strip ? hasHint : !hasHint;
+                        return strategy == null ? hasHint : !hasHint;
                     }
 
                     @Override
                     public LogicalPlan apply(LogicalPlan p) {
                         Join j = (Join) p;
-                        JoinHint newHint = strip
+                        JoinHint newHint = strategy == null
                             ? JoinHint$.MODULE$.NONE()
                             : new JoinHint(
                                 Option.empty(),
                                 new Some<>(new HintInfo(
-                                    new Some<>(BROADCAST$.MODULE$))));
+                                    new Some<>(strategy))));
                         return j.copy(j.left(), j.right(), j.joinType(),
                                       j.condition(), newHint);
                     }

@@ -54,6 +54,13 @@ spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 assert joins(plain) == ("SortMergeJoin",), "off/plain"
 spark.conf.set(XT.MODE_KEY, "force-broadcast")
 assert joins(plain) == ("BroadcastHashJoin",), "force/plain"
+# the full strategy space is steerable (same set as the hint explorer)
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+spark.conf.set(XT.MODE_KEY, "force-merge")
+assert joins(plain) == ("SortMergeJoin",), "force-merge/plain"
+spark.conf.set(XT.MODE_KEY, "force-shuffle-hash")
+assert joins(plain) == ("ShuffledHashJoin",), "force-shuffle-hash/plain"
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
 # learned choice through the extension: mode candidates are plan-distinct,
 # a fitted ranker picks one, and run_optimized executes under its conf
