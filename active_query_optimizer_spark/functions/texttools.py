@@ -241,3 +241,33 @@ def fingerprint_sql(expr: str) -> str:
     comp = (f"[greatest(ord({expr}[i:i])::BIGINT, 0) * ((i-1) % 97 + 1) "
             f"for i in range(1, len({expr}) + 1)]")
     return f"(coalesce(list_sum({comp}), 0) % {1 << 31})::BIGINT"
+
+
+#: dual-lane fingerprint parameters: (multiplier, offset, prime) per lane.
+#: Position weight w_i = (a·i + c) mod p keeps every product under 2^38
+#: (127 · 2^31), so a 10-million-char document still sums within int64 —
+#: a polynomial rolling hash would need modpow, which DuckDB SQL lacks.
+#: Two independent 31-bit lanes give ~2^-62 per-pair collision odds; at
+#: true 100 TB scale you'd swap in xxhash128 over raw bytes (not
+#: cross-engine reproducible in SQL, hence the arithmetic form here).
+FP_LANES = ((1103515245, 12345, 2147483647),
+            (1000003, 8191, 2147483629))
+
+
+def fingerprint_lane(text: Column, lane: int) -> Column:
+    """One 31-bit lane of the dual-lane document fingerprint."""
+    a, c, p = FP_LANES[lane]
+    weighted = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1))),
+        lambda i: (F.ascii(text.substr(i, F.lit(1))).cast("long")
+                   * ((i.cast("long") * a + c) % p)),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x) % p
+
+
+def fingerprint_lane_sql(expr: str, lane: int) -> str:
+    a, c, p = FP_LANES[lane]
+    comp = (f"[greatest(ord({expr}[i:i])::BIGINT, 0) * ((i::BIGINT * {a} + {c}) % {p}) "
+            f"for i in range(1, len({expr}) + 1)]")
+    return f"(coalesce(list_sum({comp}), 0) % {p})::BIGINT"

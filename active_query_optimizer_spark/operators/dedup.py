@@ -72,21 +72,28 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fingerprint_survivors",
     oracle=f"""
-    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, fp
-    FROM (SELECT doc_id, {tt.fingerprint_sql('text')} AS fp FROM documents)
-    GROUP BY fp
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, fp_a, fp_b
+    FROM (SELECT doc_id, {tt.fingerprint_lane_sql('text', 0)} AS fp_a,
+                         {tt.fingerprint_lane_sql('text', 1)} AS fp_b
+          FROM documents)
+    GROUP BY fp_a, fp_b
     """,
 )
 def dedup_fingerprint_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup at scale: shuffle a 31-bit positional fingerprint instead
-    of the document body. (A production pipeline widens this to 128 bits;
-    the checksum here is the dual-rendered primitive.)"""
+    """Exact dedup at scale: shuffle a dual-lane (2×31-bit, independent
+    prime moduli) positional fingerprint instead of the document body —
+    ~2^-62 per-pair collision odds, so the group-by key is sound far past
+    the 31-bit birthday bound (~65k docs) that a single checksum hits.
+    At true 100 TB you'd swap in a 128-bit content hash over raw bytes;
+    the dual-rendered arithmetic form is what both engines can replay."""
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     return (
-        d.select("doc_id", tt.fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
+        d.select("doc_id",
+                 tt.fingerprint_lane(F.col("text"), 0).alias("fp_a"),
+                 tt.fingerprint_lane(F.col("text"), 1).alias("fp_b"))
+        .groupBy("fp_a", "fp_b")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .select("doc_id", "n_copies", "fp")
+        .select("doc_id", "n_copies", "fp_a", "fp_b")
     )
 
 

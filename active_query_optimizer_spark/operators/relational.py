@@ -195,8 +195,11 @@ def nested_loop_theta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sevenway_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-way connected inner equi-join (the STATS workloads reach 7 tables,
-    JOB reaches 17 — ``create_sql.py`` join-graph BFS). Dimensions broadcast;
-    the lineitem spine shuffles once on each big join key."""
+    JOB reaches 17 — ``create_sql.py`` join-graph BFS). Fixed-size
+    dimensions (nation: 25 rows, region: 5 — SF-invariant) carry explicit
+    broadcast hints; part/supplier GROW with SF, so their strategy is left
+    to Catalyst/AQE size estimates — broadcast at bench scale, shuffle at
+    100 TB. The lineitem spine shuffles once on each big join key."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -209,8 +212,8 @@ def sevenway_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -255,13 +258,15 @@ def self_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def min_projection_job_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOB-form query (``data/test/imdb_test_sql.txt:1``): multiple
-    ``MIN(col) AS alias`` projections over a string-predicated join."""
+    ``MIN(col) AS alias`` projections over a string-predicated join.
+    part/supplier grow with SF — no broadcast hints; Catalyst broadcasts
+    them while their filtered sizes fit, shuffles when they don't."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 1000.0)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .agg(
             F.min("p_name").alias("min_pname"),
             F.min("s_name").alias("min_sname"),

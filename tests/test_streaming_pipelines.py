@@ -72,6 +72,24 @@ def test_deployment_pipeline_valid_split_series(spark):
         run_deployment(spark, trains, valids[:-1])
 
 
+def test_deployment_pipeline_live_bundles(spark):
+    """End-to-end deployment: bundles come from the real explorer
+    (hint/conf variants executed and timed on the star schema), not
+    synthetic trees — train/valid splits flow through the same series."""
+    from active_query_optimizer_spark.catalog import register_views
+    from active_query_optimizer_spark.plans.explore import label_workload
+
+    register_views(spark, SF_SMALL)
+    labeled = label_workload(spark, TRAIN_QUERIES[:2])
+    bundles = [(qid, [(c.plan, float(c.exec_time_ms)) for c in cands])
+               for qid, cands in labeled if len(cands) >= 2]
+    assert bundles, "explorer produced no multi-candidate bundles"
+    out = run_deployment(spark, [bundles, bundles], [bundles, bundles],
+                         epochs=5)
+    assert len(out["latency_series"]) == 2
+    assert all(v > 0 for v in out["latency_series"])
+
+
 # ------------------------------------------------------------- streaming
 
 def _start_events_stream(spark, src_dir):
