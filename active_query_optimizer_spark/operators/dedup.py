@@ -232,12 +232,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tt.simhash(tt.token_hashes(toks)).alias("simhash"))
 
 
-@register("dedup_simhash_pairs")
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {tt.simhash_sql(tt.token_hashes_sql(tt.tokens_sql('text')))} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ 3, found by banding the
-    32-bit fingerprint into 4 bytes (a pair within distance 3 shares at
-    least one exact byte — pigeonhole). Approximate by construction → no SQL
-    oracle; recall is asserted against exact Hamming in tests."""
+    32-bit fingerprint into 4 bytes. The banding is EXACT for this radius
+    (pigeonhole: 3 flipped bits touch at most 3 of the 4 chunks, so one
+    chunk matches verbatim), which is why an all-pairs SQL oracle can
+    value-hash it — the oracle pays O(N²) only ever at oracle scale; the
+    Spark side stays bucket-joined."""
     sims = dedup_simhash(spark, sf_dir)
     chunks = F.array(*[
         F.concat_ws(":", F.lit(i),
