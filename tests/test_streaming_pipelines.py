@@ -90,6 +90,40 @@ def test_deployment_pipeline_live_bundles(spark):
     assert all(v > 0 for v in out["latency_series"])
 
 
+def test_streaming_fingerprint_dedup_matches_batch(spark, tmp_path):
+    """Streaming dedup: the dual-lane fingerprint + ``dropDuplicates`` on a
+    document stream keeps exactly one row per distinct fingerprint — the
+    state-store form of the batch survivors groupBy (the survivor *choice*
+    is arrival-order in a stream, so the comparison pins the fingerprint
+    set, not survivor ids)."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.functions import texttools as tt
+
+    batch = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    fp = [tt.fingerprint_lane(F.col("text"), 0).alias("fp_a"),
+          tt.fingerprint_lane(F.col("text"), 1).alias("fp_b")]
+    q = (stream.select("doc_id", *fp)
+         .dropDuplicates(["fp_a", "fp_b"])
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT fp_a, fp_b FROM dedup_stream").collect()
+    got_fps = {(r["fp_a"], r["fp_b"]) for r in got}
+    assert len(got) == len(got_fps), "stream emitted duplicate fingerprints"
+    exp_fps = {(r["fp_a"], r["fp_b"])
+               for r in batch.select(*fp).distinct().collect()}
+    assert got_fps == exp_fps
+
+
 # ------------------------------------------------------------- streaming
 
 def _start_events_stream(spark, src_dir):
