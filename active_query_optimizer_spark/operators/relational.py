@@ -40,9 +40,18 @@ def _utc(spark: SparkSession) -> None:
 
 def _dec_sum(col, alias: str, scale: str = "decimal(18,2)"):
     """Bit-deterministic SUM of a double column: sum exactly in decimal,
-    cast the total back to double (identical to the oracle's
-    ``CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)`` independent of row order)."""
-    return F.sum(col.cast(scale)).cast("double").alias(alias)
+    reduce to scale 2, cast to double (the oracle mirrors every step).
+
+    The scale-2 reduction is ulp-critical: engines cast high-scale
+    decimals to double differently (Spark via correctly-rounded
+    BigDecimal; DuckDB scales the int128 in float arithmetic — observed
+    1-ulp divergence on DECIMAL(24,8) sums at sf0.1). At scale 2 the
+    unscaled integer stays below 2^53, so int→double is exact and the
+    ÷100 is a single correctly-rounded IEEE op — identical everywhere.
+    The reduction must be ROUND (HALF_UP in both engines), not a decimal
+    cast: DuckDB's decimal→decimal cast truncates."""
+    return (F.round(F.sum(col.cast(scale)), 2)
+            .cast("double").alias(alias))
 
 
 # ---------------------------------------------------------------------------
@@ -550,8 +559,12 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(24,8))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(24,8))), 2)
+                AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS cnt
     FROM lineitem
@@ -1008,7 +1021,8 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
     )
     SELECT b.band, COUNT(*) AS cnt,
-           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS sum_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band
     """,
@@ -1027,5 +1041,5 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (e.value >= bands.lo) & (e.value < bands.hi))
             .groupBy("band")
             .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_value")))

@@ -22,7 +22,8 @@ from .registry import register
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS sum_value
     FROM events
     GROUP BY window_start, event_type
     """,
@@ -75,7 +76,8 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY h, event_type
     )
     SELECT date_trunc('day', h) AS day, event_type,
-           CAST(SUM(n) AS BIGINT) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sum_value
     FROM hourly GROUP BY day, event_type
     """,
 )
@@ -93,4 +95,4 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum(F.col("value").cast("decimal(28,6)")).alias("v")))
     return (hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
             .agg(F.sum("n").alias("n_events"),
-                 F.sum("v").cast("double").alias("sum_value")))
+                 F.round(F.sum("v"), 2).cast("double").alias("sum_value")))

@@ -31,9 +31,10 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         src = events.withWatermark("ts", watermark)
     return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 # decimal accumulation → double: the sum is independent of
-                 # row/partition order (bit-deterministic re-runs)
-                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 # decimal accumulation, ROUNDed to scale 2 before the
+                 # double cast: order-independent AND ulp-identical across
+                 # engines (high-scale decimal→double casts are not)
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_value"))
             .select(F.col("win.start").alias("window_start"),
                     "event_type", "n_events", "sum_value"))

@@ -1,6 +1,8 @@
 """Simulate the driver: vanilla session, hostile timezone, run entry() +
-every queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01."""
-import sys, math
+every queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01
+(override with SPARK_GRAFT_SIM_SF_DIR, e.g. sf0.1 for a stronger sweep —
+data-dependent divergence can hide at small SF)."""
+import os, sys, math
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[8]")
@@ -16,7 +18,7 @@ print("entry rows:", rows)
 import duckdb, pandas as pd
 qs, osql = E.queries(), E.oracle_sql()
 print(f"{len(qs)} queries, {len(osql)} oracles")
-sf = "/root/testdata/sf0.01"
+sf = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
