@@ -39,6 +39,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "text_quality_scores",
+    # curation (round 2)
+    "decontam_ngram_overlap",
+    "pack_sequences_budget",
+    "sample_balanced_per_lang",
     # optimizer-pipeline + streaming shapes
     "plan_selection_argmin",
     "spearman_rank_corr",
