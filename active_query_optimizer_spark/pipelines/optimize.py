@@ -25,10 +25,21 @@ from ..plans.explore import (HINT_STRATEGIES, Candidate, _conf_overrides,
 def choose_plan(spark: SparkSession, sql: str, model: LeroModel,
                 strategies: tuple[str, ...] = HINT_STRATEGIES
                 ) -> tuple[Candidate, list[tuple[Candidate, float]]]:
-    """Score every distinct hint variant of ``sql``; return the predicted
+    """Score every distinct variant of ``sql``; return the predicted
     cheapest (deterministic tie-break on variant order) plus all scored
-    candidates."""
+    candidates.
+
+    The candidate space is hints + rotations + conf knobs — and, when the
+    compiled Catalyst extension is loaded in this session, the injected
+    rule's modes as well (``plans/extension.py``), deduplicated against
+    the hint variants by plan fingerprint: one ranker, both steering
+    mechanisms."""
     cands = plan_variants(spark, sql, strategies)
+    from ..plans import extension as _ext
+    if _ext.is_extension_loaded(spark):
+        seen = {c.fingerprint for c in cands}
+        cands += [c for c in _ext.plan_mode_candidates(spark, sql)
+                  if c.fingerprint not in seen]
     if not cands:
         raise ValueError("query produced no plannable variants")
     assert model.fg is not None

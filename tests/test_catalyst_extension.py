@@ -82,6 +82,14 @@ rows = XT.run_optimized(spark, plain, model).collect()
 assert rows[0][0] > 0
 # the mode override did not leak into the session
 assert spark.conf.get(XT.MODE_KEY) == "off"
+
+# unified candidate space: with the extension loaded, choose_plan scores
+# hint variants AND extension modes together (deduped by fingerprint)
+from active_query_optimizer_spark.pipelines.optimize import choose_plan
+_, all_scored = choose_plan(spark, plain, model)
+variants = {c.variant for c, _ in all_scored}
+assert any(v.startswith("ext:") for v in variants), variants
+assert len({c.fingerprint for c, _ in all_scored}) == len(all_scored)
 print("EXTENSION-OK")
 """
 
