@@ -27,44 +27,16 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). Grouped:
-#: 1-28 = round-1 unchecked, 29 = fixed red row, 30-50 = high-value
-#: round-1 greens, 51+ = round-1-green basics rotated out of the window.
+#: Driver-facing registration order (see module docstring). Round-3 layout:
+#: the 31 basics rotated past r02's window come BACK in (they re-earn a
+#: current-round row), the 6 entries that were not hash-green in r02 stay
+#: in (three multimodal rows now carry exact oracles, three are
+#: legitimately approximate rows-only), and the remaining in-window slots
+#: hold entries whose source changes this round plus round-3 additions.
+#: The 50-entry window is an observed driver behavior, treated as
+#: best-effort: entries past it keep their prior-round rows on record.
 _DRIVER_ORDER = [
-    # --- round-1 unchecked: text analysis (8)
-    "text_token_stats", "text_bpe_token_count", "text_quality_scores",
-    "text_langid", "text_fingerprint", "text_lang_summary",
-    "text_pattern_flags", "text_top_terms",
-    # --- round-1 unchecked: dedup + ANN tails (6)
-    "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_minhash_clusters",
-    "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
-    # --- round-1 unchecked: multimodal (4)
-    "multimodal_bytes_features", "multimodal_feature_extract",
-    "multimodal_resize_grid", "multimodal_frame_sample",
-    # --- round-1 unchecked: stats harvesting (4)
-    "stats_numeric_ranges", "stats_topk_frequent_values",
-    "stats_distinct_values", "stats_column_cardinalities",
-    # --- round-1 unchecked: optimizer pipeline + coreset (3)
-    "plan_selection_argmin", "spearman_rank_corr", "coreset_select_embeddings",
-    # --- round-1 unchecked: streaming/time-series (3)
-    "stream_windowed_event_counts", "stream_sessionize_events",
-    "hypertable_rollup_daily",
-    # --- round-1 red, oracle fixed (1)
-    "props_extract_sum",
-    # --- new in round 2: curation ops, need their first driver row (3)
-    "decontam_ngram_overlap", "pack_sequences_budget",
-    "sample_balanced_per_lang",
-    # --- round-1 green, kept in-window (18): joins/aggs/dedup flagships
-    "flagship_multijoin_count", "sevenway_join_count",
-    "transitive_equijoin_count", "skew_salted_join_count",
-    "asof_join_events_orders", "range_join_value_bands",
-    "outer_join_count_per_customer", "in_subquery_count",
-    "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
-    "groupby_agg", "pricing_summary",
-    "dedup_exact_docs", "dedup_fingerprint_survivors",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    # ---------------- driver window boundary (50) ----------------
-    # --- round-1 green basics, rotated to the tail (31)
+    # --- r01-green basics, back in-window after r02 rotation (31)
     "rollup_agg", "cube_agg", "grouping_sets_agg",
     "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "broadcast_join_count", "nested_loop_theta_count",
@@ -76,15 +48,51 @@ _DRIVER_ORDER = [
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
     "intersect_except_keys", "case_when_bucket_agg", "date_trunc_monthly",
     "datetime_parts_agg",
+    # --- r02 non-green: multimodal now exact-oracled (3)
+    "multimodal_feature_extract", "multimodal_resize_grid",
+    "multimodal_frame_sample",
+    # --- r02 non-green: legitimately approximate, rows-only by design (3)
+    "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
+    # --- source changes this round → need a fresh row (3)
+    "dedup_fingerprint_survivors", "dedup_minhash_clusters",
+    "decontam_ngram_overlap",
+    # --- round-3 additions + high-value r02 greens (fills to 50; new
+    #     registrations this round displace greens from this block)
+    "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
+    "dedup_exact_docs", "dedup_minhash_lsh", "props_extract_sum",
+    "pack_sequences_budget", "sample_balanced_per_lang",
+    "stream_sessionize_events", "hypertable_rollup_daily",
+    # ---------------- driver window boundary (50) ----------------
+    # --- r02-green, rotated to the tail (31)
+    "text_token_stats", "text_bpe_token_count", "text_quality_scores",
+    "text_langid", "text_fingerprint", "text_lang_summary",
+    "text_pattern_flags", "text_top_terms",
+    "dedup_simhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "ann_cosine_topk", "multimodal_bytes_features",
+    "stats_numeric_ranges", "stats_topk_frequent_values",
+    "stats_distinct_values", "stats_column_cardinalities",
+    "plan_selection_argmin", "spearman_rank_corr",
+    "stream_windowed_event_counts",
+    "transitive_equijoin_count", "skew_salted_join_count",
+    "asof_join_events_orders", "range_join_value_bands",
+    "outer_join_count_per_customer", "in_subquery_count",
+    "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
+    "groupby_agg",
 ]
 
 
 def _reorder() -> None:
     missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
     extra = [n for n in QUERIES if n not in _DRIVER_ORDER]
-    # a query registered but absent from the order list is developer drift —
-    # fail loudly so it can't silently land outside the driver's window
-    assert not extra, f"queries missing from _DRIVER_ORDER: {extra}"
+    if extra:
+        # a query registered but absent from the order list is developer
+        # drift — keep it ALIVE (appended at the tail, so it still reaches
+        # the driver) and warn loudly; tests/test_relational.py asserts the
+        # list is exhaustive so CI fails even under `python -O`
+        import sys
+
+        print(f"WARNING: queries missing from _DRIVER_ORDER, appended at "
+              f"tail: {extra}", file=sys.stderr)
     if missing:  # pragma: no cover - an operator module failed to import in
         # this environment; warn loudly but keep the surviving registry
         # alive rather than taking every query down with it
@@ -92,8 +100,9 @@ def _reorder() -> None:
 
         print(f"WARNING: operators missing from registry: {missing}",
               file=sys.stderr)
+    order = _DRIVER_ORDER + extra
     for d in (QUERIES, ORACLES):
-        ordered = {n: d[n] for n in _DRIVER_ORDER if n in d}
+        ordered = {n: d[n] for n in order if n in d}
         d.clear()
         d.update(ordered)
 

@@ -111,11 +111,29 @@ def multimodal_bytes_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_extract")
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           'fake' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN -1 ELSE ord(text[1:1]) END
+               AS first_byte,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE ord(text[len(text):len(text)]) END AS last_byte,
+           CAST(COALESCE(list_sum(list_transform(
+                    generate_series(1, length(text)),
+                    i -> ord(text[i:i]))), 0) % 100000007 AS BIGINT)
+               AS byte_sum_mod
+    FROM documents
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real mapInPandas decode pipeline with the deterministic fake
-    decoder (rows-only driver check; exact values asserted in tests against
-    the Column-op twin)."""
+    decoder. The fake decode is pure byte arithmetic over the UTF-8 payload
+    (ASCII corpus ⇒ per-char ``ord`` == per-byte value), so DuckDB expresses
+    it exactly: a lambda over a generated char index replays ``byte_sum_mod``
+    and the first/last-byte features — exact oracle, not rows-only."""
     return extract_features(binary_table(spark, sf_dir), kind="fake")
 
 
@@ -210,15 +228,80 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4,
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
-@register("multimodal_resize_grid")
+@register(
+    "multimodal_resize_grid",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents
+    ),
+    pooled AS (
+        SELECT d.doc_id,
+               (t.i * 64) // d.n AS bucket,
+               SUM(ord(d.text[t.i + 1:t.i + 1])) AS s,
+               COUNT(*) AS c
+        FROM docs d,
+             LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) t
+        WHERE d.n > 0
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, b.bucket,
+               COALESCE(p.s, 0) AS s, COALESCE(p.c, 1) AS c
+        FROM docs d
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b
+        LEFT JOIN pooled p ON p.doc_id = d.doc_id AND p.bucket = b.bucket
+    )
+    SELECT doc_id, 8 AS width, 8 AS height,
+           string_agg(
+               CAST(CAST(ROUND(CAST(CAST((s / c) / 255.0 AS REAL) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS VARCHAR),
+               ',' ORDER BY bucket) AS px_q
+    FROM grid GROUP BY doc_id
+    """,
+)
 def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize pipeline shape over binary payloads (rows-only: fake
-    decoder; grid values pinned by unit tests)."""
-    return resize_images(binary_table(spark, sf_dir))
+    """Image-resize pipeline over binary payloads, driver-facing form: the
+    raw ``pixels array<float>`` column is digested into ``px_q`` — a
+    comma-joined micro-quantized (×1e6, HALF_UP) integer string — because
+    the driver's canonicalizer needs scalar cells (round-2 red row) and the
+    quantized digest is engine-portable: the fake resize is exact integer
+    pooling (byte sums / counts) whose float32 grid both numpy and DuckDB
+    derive with the same correctly-rounded double ops. The raw-array
+    pipeline stays available as :func:`resize_images`."""
+    grid = resize_images(binary_table(spark, sf_dir))
+    q = F.transform(
+        "pixels",
+        lambda v: F.round(v.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    return grid.select(
+        "doc_id", "width", "height",
+        F.concat_ws(",", q.cast(T.ArrayType(T.StringType()))).alias("px_q"),
+    )
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id,
+           t.i AS frame_idx,
+           CAST(t.i * 1000 AS BIGINT) AS frame_ts_ms,
+           substring(d.text, t.i * 64 + 1, 64) AS frame_text
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+                      0,
+                      least(4, greatest(1, octet_length(encode(d.text)) // 64))
+                      - 1)) AS i) t
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline shape: row-expanding mapInPandas (rows-only;
-    expansion counts pinned by unit tests)."""
-    return sample_frames(binary_table(spark, sf_dir))
+    """Frame-sampling pipeline (row-expanding mapInPandas), driver-facing
+    form: the fake frame extractor slices the payload at 64-byte strides, so
+    DuckDB replays it with ``substring`` over a generated frame index (ASCII
+    corpus ⇒ char offsets == byte offsets). ``frame_bytes`` is surfaced as a
+    UTF-8 string column so both engines hash a scalar; the binary-typed
+    pipeline stays available as :func:`sample_frames`."""
+    frames = sample_frames(binary_table(spark, sf_dir))
+    return frames.select(
+        "doc_id", "frame_idx", "frame_ts_ms",
+        F.col("frame_bytes").cast("string").alias("frame_text"),
+    )

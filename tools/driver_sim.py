@@ -37,7 +37,19 @@ bad = []
 for name in sorted(qs):
     sp = qs[name](spark, sf).toPandas()
     if name not in osql:
-        print(f"  {name}: rows-only ({len(sp)})"); continue
+        # the real driver canonicalizes rows-only output too, with a plain
+        # pandas sort whose hash path chokes on non-scalar cells (round-2
+        # red row: array<float> → "unhashable type: 'list'"); flag any
+        # list/array-valued cell here before the driver sees it
+        nonscalar = [c for c in sp.columns if len(sp) and any(
+            isinstance(v, (list, tuple)) or (hasattr(v, "tolist") and not
+            isinstance(v, (str, bytes, bytearray))) for v in sp[c].head(20))]
+        if nonscalar:
+            print(f"  FAIL[rows-only non-scalar cols {nonscalar}] {name}")
+            bad.append(name)
+        else:
+            print(f"  {name}: rows-only ({len(sp)})")
+        continue
     du = con.execute(osql[name]).fetchdf()
     ok = (sorted(sp.columns) == sorted(du.columns) and len(sp) == len(du))
     why = "" if ok else "shape"
