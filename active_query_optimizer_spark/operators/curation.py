@@ -79,10 +79,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram shingles that also occur anywhere in the benchmark slice; flag
     docs at ``>= DECONTAM_MIN_SHARED`` shared shingles.
 
-    Scale: the benchmark shingle set is the *eval suite* — bounded by
-    construction (thousands of documents, not the corpus) — so it is
-    explicitly broadcast and the corpus is never shuffled: one scan,
-    map-side join, then a groupBy on doc_id whose payload is one long."""
+    Scale: a real benchmark shingle set (the eval suite) is bounded by
+    construction, but THIS bench slice is ``doc_id % 97 == 0`` — ~1% of the
+    corpus, which *grows with SF* — so no broadcast is forced: AQE sees the
+    post-distinct size and picks broadcast while the side is small,
+    degrading to a shuffle join instead of a driver OOM when it isn't
+    (the same forced-broadcast-of-a-scaling-side trap removed from
+    ``dedup_minhash_lsh`` in round 2). The groupBy payload stays one long
+    per (doc, shared-shingle)."""
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     sh = tt.shingle_hashes(F.col("text"), n=DECONTAM_SHINGLE_N)
     bench = (d.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
@@ -91,7 +95,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", F.explode(sh).alias("g")))
     # shingle arrays are already distinct per doc (array_distinct in
     # texttools), so (doc_id, g) needs no extra dedup before counting
-    return (corpus.join(F.broadcast(bench), "g")
+    return (corpus.join(bench, "g")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .select("doc_id", "n_shared",

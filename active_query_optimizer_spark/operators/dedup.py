@@ -310,15 +310,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Transitive near-dup clustering (connected components + survivors)
 # ---------------------------------------------------------------------------
 
+#: truncate label lineage every N propagation rounds (plan grows ~3×/round)
+_CC_CHECKPOINT_INTERVAL = 4
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          node_col: str = "doc_id",
-                         max_iters: int = 50) -> DataFrame:
-    """Min-label propagation over an undirected edge set: every node ends
-    with the smallest node id reachable from it (= component id).
-    Each iteration is one join + one min-aggregate; iterations are bounded
-    by the component diameter (label jumps shortcut it in practice — the
-    alternating-star trick would cut it to O(log n) if diameters ever grow).
-    Convergence is checked with a count of changed labels per round."""
+                         max_iters: int = 50,
+                         stats: dict | None = None) -> DataFrame:
+    """Min-label propagation with pointer jumping: every node ends with the
+    smallest node id reachable from it (= component id).
+
+    Scale shape (the round-2 watch item, now closed):
+
+    - **One Spark action per iteration.** The old label is carried as a
+      column through the propagation pass, so the changed-count is a filter
+      over the same cached frame — no second join, no second traversal.
+    - **O(log diameter) rounds.** Each round takes the min over neighbor
+      labels AND the label of the current label's node (path halving):
+      label pointers double their reach every round, so a length-n chain
+      converges in ~log2(n) rounds instead of n (invariant: a label is
+      always the id of a *reachable* node, so jumping through it never
+      leaves the component).
+    - **No cache leak.** The result is eagerly ``localCheckpoint``-ed
+      (partitions already materialized by the last convergence action),
+      then every internal persist — and the caller's edge persist — can be
+      released immediately; the returned frame no longer references them.
+
+    ``stats["iterations"]`` reports the executed round count when a dict is
+    passed (the deep-chain regression test pins the O(log n) behavior)."""
     a, b = F.col("src"), F.col("dst")
     # persist the symmetrized edge list: every iteration joins against it,
     # and its lineage may be an entire LSH pipeline (dedup_minhash_clusters)
@@ -327,29 +347,59 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
            .union(edges.select(b.alias("u"), a.alias("v")))).persist()
     labels = nodes.select(F.col(node_col).alias("u"),
                           F.col(node_col).alias("label"))
+    prev_cached = None
+    iters = 0
     for _ in range(max_iters):
+        iters += 1
         neighbor_min = (und.join(labels, und.v == labels.u)
                         .groupBy(und.u.alias("n"))
                         .agg(F.min("label").alias("nb_label")))
-        new_labels = (labels.join(neighbor_min, labels.u == neighbor_min.n,
-                                  "left")
-                      .select(F.col("u"),
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nb_label"),
-                                                 F.col("label")))
-                              .alias("label")))
-        new_labels = new_labels.persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "u")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        if labels.is_cached:
-            labels.unpersist()
-        labels = new_labels
+        cand = (labels.join(neighbor_min, labels.u == neighbor_min.n, "left")
+                .select(F.col("u"),
+                        F.col("label").alias("old"),
+                        F.least(F.col("label"),
+                                F.coalesce(F.col("nb_label"), F.col("label")))
+                        .alias("mid")))
+        # pointer jump: also adopt the label currently held by the node my
+        # candidate label points at (label-of-label); reachability invariant
+        # keeps this inside the component while doubling pointer reach
+        lmap = labels.select(F.col("u").alias("p_u"),
+                             F.col("label").alias("p_label"))
+        computed = (cand.join(lmap, cand.mid == lmap.p_u, "left")
+                    .select(F.col("u"), F.col("old"),
+                            F.least(F.col("mid"),
+                                    F.coalesce(F.col("p_label"),
+                                               F.col("mid")))
+                            .alias("label")))
+        # the logical plan references `labels` three times per round, so the
+        # analyzed tree grows ~3× per iteration — persist() caches execution
+        # but does NOT truncate the plan, and a deep run OOMs the driver just
+        # *printing* it. Cut lineage every few rounds (GraphFrames'
+        # checkpointInterval pattern); non-eager, so the convergence count
+        # below is still the round's only job.
+        if iters % _CC_CHECKPOINT_INTERVAL == 0:
+            new_labels = computed.localCheckpoint(eager=False)
+            cached = None  # checkpoint blocks are context-cleaner managed
+        else:
+            new_labels = computed.persist()
+            cached = new_labels
+        # ONE action: materializes the round and reads the changed count
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cached
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = iters
+    result = (labels.select(F.col("u").alias(node_col),
+                            F.col("label").alias("cluster_id"))
+              .localCheckpoint(eager=True))
+    if prev_cached is not None:
+        prev_cached.unpersist()
     und.unpersist()
-    return labels.select(F.col("u").alias(node_col),
-                         F.col("label").alias("cluster_id"))
+    return result
 
 
 @register(
@@ -394,6 +444,9 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                .union(pairs.select(F.col("dst").alias("doc_id")))
                .distinct())
     comp = connected_components(pairs, touched)
+    # comp is localCheckpoint-ed (lineage cut), so the pair-stream cache can
+    # be released here instead of leaking across invocations (round-2 advice)
+    pairs.unpersist()
     return (d.select("doc_id")
             .join(comp, "doc_id", "left")
             .select("doc_id",

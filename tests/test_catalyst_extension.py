@@ -102,3 +102,22 @@ def test_injected_rule_changes_physical_plan():
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "EXTENSION-OK" in proc.stdout
+
+
+def test_jar_not_stale_vs_java_source():
+    """The compiled jar is committed (tests must run without a JDK), which
+    means it can silently drift from the Java source after an edit — this
+    guard fails the suite when the source is newer than the jar (round-2
+    advice). Fix: re-run jvmext/build.sh."""
+    import os
+
+    jar = extension_jar()
+    if jar is None:
+        pytest.skip("extension jar not built")
+    src_dir = os.path.join(REPO, "jvmext", "src")
+    newest_src = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fns in os.walk(src_dir) for f in fns if f.endswith(".java"))
+    assert os.path.getmtime(jar) >= newest_src, (
+        "jvmext java source is newer than the committed jar — "
+        "re-run jvmext/build.sh")

@@ -169,3 +169,49 @@ def test_learned_plan_choice_runs_best_variant(spark):
     got = run_optimized(spark, sql, model).collect()[0][0]
     expect = spark.sql(sql).collect()[0][0]
     assert got == expect
+
+
+def test_connected_components_deep_chain_converges_logarithmically(spark):
+    """Pointer jumping must make rounds O(log diameter): a 200-node chain
+    (diameter 199) has to converge in far fewer than 199 rounds, with every
+    node labeled 0. Plain min-propagation would need ~199 rounds — this
+    pins the round-2 scale watch item (deep near-dup chains)."""
+    import math
+
+    from active_query_optimizer_spark.operators.dedup import (
+        connected_components)
+
+    n = 200
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    stats: dict = {}
+    comp = connected_components(edges, nodes, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+    # path halving: reach doubles per round; generous 3×log2(n)+3 bound
+    # still far below the diameter bound of n-1
+    assert stats["iterations"] <= 3 * math.ceil(math.log2(n)) + 3, (
+        f"chain took {stats['iterations']} rounds — pointer jump regressed")
+
+
+def test_connected_components_releases_caches(spark):
+    """The eager localCheckpoint must let every internal persist be
+    released: after the call, no RDD from the propagation loop may remain
+    cached (round-2 advice: repeated invocations accumulated blocks)."""
+    from active_query_optimizer_spark.operators.dedup import (
+        connected_components)
+
+    before = {i for i, _ in spark.sparkContext._jsc.getPersistentRDDs().items()}
+    edges = spark.range(20).select(
+        (F.col("id") % 10).alias("src"), (F.col("id") % 10 + 10).alias("dst"))
+    nodes = spark.range(20).select(F.col("id").alias("doc_id"))
+    comp = connected_components(edges, nodes)
+    comp.count()
+    after = {i for i, _ in spark.sparkContext._jsc.getPersistentRDDs().items()}
+    leaked = after - before
+    # the final localCheckpoint RDD (and at most one interval checkpoint,
+    # freed later by the context cleaner) may remain; explicit persists from
+    # the propagation loop must all be gone
+    assert len(leaked) <= 2, f"cached RDDs leaked from the loop: {leaked}"
