@@ -271,3 +271,21 @@ def fingerprint_lane_sql(expr: str, lane: int) -> str:
     comp = (f"[greatest(ord({expr}[i:i])::BIGINT, 0) * ((i::BIGINT * {a} + {c}) % {p}) "
             f"for i in range(1, len({expr}) + 1)]")
     return f"(coalesce(list_sum({comp}), 0) % {p})::BIGINT"
+
+
+#: second xxhash64 lane salt (golden-ratio constant): hashing (text, salt)
+#: instead of (text) gives an independent 64-bit lane, and the pair is a
+#: 128-bit content fingerprint — the production dedup key. JVM-side and
+#: O(len) over raw bytes, unlike the O(len) *per-char array* arithmetic
+#: lanes above, but not replayable in ANSI SQL (hence both forms exist).
+_CONTENT_FP_SALT = 0x9E3779B9
+
+
+def content_fingerprint_hi(text: Column) -> Column:
+    """High 64 bits of the 128-bit content fingerprint (xxhash64)."""
+    return F.xxhash64(text)
+
+
+def content_fingerprint_lo(text: Column) -> Column:
+    """Low 64 bits: xxhash64 over (text, salt) — an independent lane."""
+    return F.xxhash64(text, F.lit(_CONTENT_FP_SALT))

@@ -69,6 +69,35 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_copies")
 
 
+def fingerprint_survivors(d: DataFrame, lane: str = "content") -> DataFrame:
+    """Exact dedup at scale: shuffle a wide fingerprint instead of the
+    document body. Two lanes:
+
+    - ``content`` (production default): 128-bit xxhash64 twin-seed over the
+      text — JVM-side, whole-stage-codegen, O(bytes), collision odds
+      ~2^-128 per pair; this is the key you'd group 100 TB by.
+    - ``arith``: dual 31-bit positional checksums (independent prime
+      moduli, ~2^-62 per pair) — slower (per-char array fold) but exactly
+      replayable in ANSI SQL, so it carries the DuckDB oracle; survivors
+      are asserted identical to the content lane in tests.
+
+    Either way only (doc_id, fp) moves through the exchange."""
+    if lane == "content":
+        fp_a = tt.content_fingerprint_hi(F.col("text"))
+        fp_b = tt.content_fingerprint_lo(F.col("text"))
+    elif lane == "arith":
+        fp_a = tt.fingerprint_lane(F.col("text"), 0)
+        fp_b = tt.fingerprint_lane(F.col("text"), 1)
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"unknown fingerprint lane: {lane!r}")
+    return (
+        d.select("doc_id", fp_a.alias("fp_a"), fp_b.alias("fp_b"))
+        .groupBy("fp_a", "fp_b")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies", "fp_a", "fp_b")
+    )
+
+
 @register(
     "dedup_fingerprint_survivors",
     oracle=f"""
@@ -80,21 +109,12 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fingerprint_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup at scale: shuffle a dual-lane (2×31-bit, independent
-    prime moduli) positional fingerprint instead of the document body —
-    ~2^-62 per-pair collision odds, so the group-by key is sound far past
-    the 31-bit birthday bound (~65k docs) that a single checksum hits.
-    At true 100 TB you'd swap in a 128-bit content hash over raw bytes;
-    the dual-rendered arithmetic form is what both engines can replay."""
+    """Driver-facing fingerprint dedup on the ``arith`` lane (the one DuckDB
+    can replay); :func:`fingerprint_survivors` with the default ``content``
+    lane is the production 128-bit form — tests pin that both lanes select
+    identical survivors on the corpus."""
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
-    return (
-        d.select("doc_id",
-                 tt.fingerprint_lane(F.col("text"), 0).alias("fp_a"),
-                 tt.fingerprint_lane(F.col("text"), 1).alias("fp_b"))
-        .groupBy("fp_a", "fp_b")
-        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .select("doc_id", "n_copies", "fp_a", "fp_b")
-    )
+    return fingerprint_survivors(d, lane="arith")
 
 
 # ---------------------------------------------------------------------------

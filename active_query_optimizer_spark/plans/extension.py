@@ -38,6 +38,12 @@ EXTENSION_CLASS = "org.aqo.spark.LearnedJoinExtensions"
 MODE_KEY = "spark.learned.join.mode"
 MODES = ("off", "strip-hints", "force-broadcast", "force-merge",
          "force-shuffle-hash")
+#: per-join steering conf (takes precedence over MODE_KEY in the rule):
+#: "idx:strategy,..." — indices number Join nodes bottom-up (transformUp
+#: order), matching the reference's per-join-operator candidate granularity
+#: (Lero/feature.py:12 encodes Hash/Merge/Nested-Loop per node).
+MODES_KEY = "spark.learned.join.modes"
+PER_JOIN_STRATEGIES = ("broadcast", "merge", "shuffle-hash")
 
 
 def extension_jar() -> str | None:
@@ -92,12 +98,61 @@ def plan_mode_candidates(spark: SparkSession, sql: str,
     return out
 
 
+def count_joins(spark: SparkSession, sql: str) -> int:
+    """Number of Join nodes in the optimized logical plan — the index
+    space ``spark.learned.join.modes`` steers over."""
+    jplan = spark.sql(sql)._jdf.queryExecution().optimizedPlan()
+
+    def walk(n) -> int:
+        hits = 1 if n.nodeName() == "Join" else 0
+        for i in range(n.children().size()):
+            hits += walk(n.children().apply(i))
+        return hits
+
+    return walk(jplan)
+
+
+def per_join_candidates(spark: SparkSession, sql: str,
+                        strategies: tuple[str, ...] = PER_JOIN_STRATEGIES,
+                        seen: set[str] | None = None) -> list[Candidate]:
+    """One candidate per (join index, strategy) single deviation — the
+    per-join analog of ``plan_mode_candidates``, matching the granularity
+    of the reference's candidate bundles (strategy chosen per join
+    operator). Single deviations keep the space linear (n_joins × 3) while
+    still letting the ranker pick e.g. broadcast for join 0 and merge for
+    join 1 across *separate* candidates; the realized-plan fingerprint
+    dedups assignments Catalyst maps to the same physical plan."""
+    seen = set() if seen is None else seen
+    out: list[Candidate] = []
+    n = count_joins(spark, sql)
+    for i in range(n):
+        for s in strategies:
+            spec = f"{i}:{s}"
+            conf = {MODES_KEY: spec}
+            with _conf_overrides(spark, conf):
+                df = spark.sql(sql)
+                tree = capture_plan(df, executed=False)
+            fp = plan_fingerprint(tree)
+            if fp in seen:
+                continue
+            seen.add(fp)
+            out.append(Candidate(variant=f"ext-join:{spec}", sql=sql,
+                                 fingerprint=fp, plan=tree, conf=conf))
+    return out
+
+
 def choose_mode(spark: SparkSession, sql: str, model: LeroModel,
-                modes: tuple[str, ...] = MODES
+                modes: tuple[str, ...] = MODES,
+                per_join: bool = True,
                 ) -> tuple[Candidate, list[tuple[Candidate, float]]]:
     """Score each extension mode's plan with the tree-conv ranker; return
-    the predicted-cheapest candidate plus all scored ones."""
+    the predicted-cheapest candidate plus all scored ones. With
+    ``per_join`` (default) the mode space is enlarged from the coarse
+    whole-plan modes to per-join-index strategy deviations."""
     cands = plan_mode_candidates(spark, sql, modes)
+    if per_join:
+        have = {c.fingerprint for c in cands}
+        cands.extend(per_join_candidates(spark, sql, seen=have))
     if not cands:
         raise ValueError("query produced no plannable extension candidates")
     assert model.fg is not None

@@ -40,6 +40,18 @@ import scala.runtime.BoxedUnit;
  *       the SQL-hint explorer.</li>
  * </ul>
  *
+ * Per-join steering via {@code spark.learned.join.modes} (takes precedence
+ * over the global mode when non-empty): a comma-separated
+ * {@code index:strategy} list, e.g. {@code 0:broadcast,1:merge}. Indices
+ * number every {@code Join} node in bottom-up (transformUp) visit order —
+ * the same granularity as the reference's candidate bundles, which pick
+ * Hash/Merge/Nested-Loop per join operator, not per plan. Strategies:
+ * {@code broadcast | merge | shuffle-hash} (build side = right; append
+ * {@code -left} to hint the left side), {@code none} (strip that join's
+ * hint), {@code default} (leave untouched). The rewrite is idempotent —
+ * a join already carrying the requested hint is returned unchanged — so
+ * the rule is fixpoint-safe inside the operator-optimization batch.
+ *
  * Load with:
  * {@code spark.sql.extensions=org.aqo.spark.LearnedJoinExtensions} and
  * the jar on the driver classpath ({@code jvmext/build.sh} compiles it
@@ -48,6 +60,7 @@ import scala.runtime.BoxedUnit;
 public class LearnedJoinExtensions implements SparkSessionExtensionsProvider {
 
     public static final String MODE_KEY = "spark.learned.join.mode";
+    public static final String MODES_KEY = "spark.learned.join.modes";
 
     @Override
     public BoxedUnit apply(SparkSessionExtensions extensions) {
@@ -68,6 +81,10 @@ public class LearnedJoinExtensions implements SparkSessionExtensionsProvider {
 
         @Override
         public LogicalPlan apply(LogicalPlan plan) {
+            String perJoin = conf().getConfString(MODES_KEY, "");
+            if (!perJoin.isEmpty()) {
+                return rewritePerJoin(plan, perJoin);
+            }
             String mode = conf().getConfString(MODE_KEY, "off");
             switch (mode) {
                 case "strip-hints":
@@ -80,6 +97,84 @@ public class LearnedJoinExtensions implements SparkSessionExtensionsProvider {
                     return rewriteJoins(plan, SHUFFLE_HASH$.MODULE$);
                 default:
                     return plan;
+            }
+        }
+
+        /** {@code spec} is "idx:strategy,idx:strategy,..."; joins are
+         *  numbered in transformUp (bottom-up, left-to-right) visit order,
+         *  counting EVERY Join node — hinted or not — so indices stay
+         *  stable across fixpoint re-applications. */
+        private static LogicalPlan rewritePerJoin(LogicalPlan plan,
+                                                  String spec) {
+            final java.util.Map<Integer, String> modes = new java.util.HashMap<>();
+            for (String part : spec.split(",")) {
+                String p = part.trim();
+                if (p.isEmpty()) {
+                    continue;
+                }
+                int colon = p.indexOf(':');
+                if (colon <= 0) {
+                    continue;  // malformed entry: ignore, never fail a query
+                }
+                try {
+                    modes.put(Integer.parseInt(p.substring(0, colon).trim()),
+                              p.substring(colon + 1).trim());
+                } catch (NumberFormatException e) {
+                    // malformed index: ignore
+                }
+            }
+            final int[] idx = {0};
+            return (LogicalPlan) plan.transformUp(
+                new AbstractPartialFunction<LogicalPlan, LogicalPlan>() {
+                    @Override
+                    public boolean isDefinedAt(LogicalPlan p) {
+                        return p instanceof Join;
+                    }
+
+                    @Override
+                    public LogicalPlan apply(LogicalPlan p) {
+                        Join j = (Join) p;
+                        String token = modes.get(idx[0]++);
+                        if (token == null || token.equals("default")) {
+                            return j;
+                        }
+                        JoinHint newHint;
+                        if (token.equals("none")) {
+                            newHint = JoinHint$.MODULE$.NONE();
+                        } else {
+                            boolean left = token.endsWith("-left");
+                            String name = left
+                                ? token.substring(0, token.length() - 5)
+                                : token;
+                            JoinStrategyHint strategy = strategyFor(name);
+                            if (strategy == null) {
+                                return j;  // unknown token: leave untouched
+                            }
+                            Option<HintInfo> side =
+                                new Some<>(new HintInfo(new Some<>(strategy)));
+                            newHint = left
+                                ? new JoinHint(side, Option.empty())
+                                : new JoinHint(Option.empty(), side);
+                        }
+                        if (newHint.equals(j.hint())) {
+                            return j;  // idempotent: fixpoint-safe
+                        }
+                        return j.copy(j.left(), j.right(), j.joinType(),
+                                      j.condition(), newHint);
+                    }
+                });
+        }
+
+        private static JoinStrategyHint strategyFor(String name) {
+            switch (name) {
+                case "broadcast":
+                    return BROADCAST$.MODULE$;
+                case "merge":
+                    return SHUFFLE_MERGE$.MODULE$;
+                case "shuffle-hash":
+                    return SHUFFLE_HASH$.MODULE$;
+                default:
+                    return null;
             }
         }
 

@@ -77,11 +77,42 @@ model = LeroModel(fg)
 model.fit([fg.transform_tree(c.plan) for c in cands],
           [float(i + 1) for i in range(len(cands))], epochs=5)
 best, scored = XT.choose_mode(spark, plain, model)
-assert len(scored) == len(cands)
+assert len(scored) >= len(cands)  # per-join deviations join the space
+assert {c.fingerprint for c in cands} <= {c.fingerprint for c, _ in scored}
 rows = XT.run_optimized(spark, plain, model).collect()
 assert rows[0][0] > 0
 # the mode override did not leak into the session
 assert spark.conf.get(XT.MODE_KEY) == "off"
+
+# per-join steering: two joins in ONE query realized with two DIFFERENT
+# forced strategies — the reference's per-join-operator granularity
+# (Lero candidate bundles pick Hash/Merge/NL per node, feature.py:12)
+two = ("SELECT COUNT(*) FROM orders o "
+       "JOIN customer c ON o.o_custkey = c.c_custkey "
+       "JOIN nation n ON c.c_nationkey = n.n_nationkey")
+assert XT.count_joins(spark, two) == 2
+assert set(joins(two)) == {"SortMergeJoin"}, "baseline should be all-SMJ"
+spark.conf.set(XT.MODES_KEY, "0:broadcast,1:shuffle-hash")
+strat = sorted(joins(two))
+spark.conf.unset(XT.MODES_KEY)
+assert strat == ["BroadcastHashJoin", "ShuffledHashJoin"], strat
+
+# the learned ranker scores the enlarged per-join space end-to-end
+mode_cands2 = XT.plan_mode_candidates(spark, two)
+pj = XT.per_join_candidates(spark, two)
+assert pj and all(c.variant.startswith("ext-join:") for c in pj)
+all_plans = [c.plan for c in mode_cands2 + pj]
+from active_query_optimizer_spark.plans.featurize import FeatureGenerator as FG2
+fg2 = FG2()
+fg2.fit(all_plans)
+m2 = LeroModel(fg2)
+m2.fit([fg2.transform_tree(p) for p in all_plans],
+       [float(i + 1) for i in range(len(all_plans))], epochs=5)
+best2, scored2 = XT.choose_mode(spark, two, m2)
+assert any(c.variant.startswith("ext-join:") for c, _ in scored2), (
+    [c.variant for c, _ in scored2])
+assert XT.run_optimized(spark, two, m2).collect()[0][0] > 0
+assert spark.conf.get(XT.MODES_KEY, None) in (None, "")
 
 # unified candidate space: with the extension loaded, choose_plan scores
 # hint variants AND extension modes together (deduped by fingerprint)

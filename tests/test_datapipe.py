@@ -215,3 +215,22 @@ def test_connected_components_releases_caches(spark):
     # freed later by the context cleaner) may remain; explicit persists from
     # the propagation loop must all be gone
     assert len(leaked) <= 2, f"cached RDDs leaked from the loop: {leaked}"
+
+
+def test_fingerprint_lanes_identical_survivors(spark):
+    """The production 128-bit content lane (xxhash64 twin-seed) and the
+    oracle-replayable arithmetic lane must pick the same survivors with the
+    same copy counts on the corpus — fp values differ, groups may not."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.operators.dedup import (
+        fingerprint_survivors)
+
+    d = load_table(spark, SF_SMALL, "documents")
+    content = sorted((r["doc_id"], r["n_copies"])
+                     for r in fingerprint_survivors(d, "content").collect())
+    arith = sorted((r["doc_id"], r["n_copies"])
+                   for r in fingerprint_survivors(d, "arith").collect())
+    assert content == arith and len(content) > 0
+    # twin seeds must actually give two independent lanes
+    one = fingerprint_survivors(d, "content").limit(5).collect()
+    assert any(r["fp_a"] != r["fp_b"] for r in one)
