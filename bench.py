@@ -65,17 +65,22 @@ def main() -> None:
     # steady-state cost. Each run replans + re-executes from parquet.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+        # run-to-run spread (max-min): quantifies JIT/GC noise per query —
+        # a large spread next to a small best means the best is steady-state
+        # while cold runs still pay codegen/GC, not that the plan is flaky
+        spreads[name] = round(max(samples) - min(samples), 4)
         # NOTE: persisted intermediates (e.g. the minhash signature table)
         # are deliberately NOT cleared between the N runs — Spark's cache
         # manager dedupes by canonicalized plan, so later runs measure the
@@ -92,10 +97,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf_val,
         "runs_per_query": runs,
-        "notes": ("best-of-N wall clock per query; dedup_minhash_* vary "
-                  "several seconds run-to-run at small SF (JIT/GC noise)"),
+        "notes": ("best-of-N wall clock per query; spread = max-min over "
+                  "the N runs (JIT/GC noise quantified per query)"),
     }
     print(json.dumps(out))
 
