@@ -17,7 +17,7 @@ from . import relational  # noqa: F401
 from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
-             "pipelineops", "streamops", "curation"):
+             "pipelineops", "streamops", "curation", "quality"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover - partial checkout
@@ -56,14 +56,18 @@ _DRIVER_ORDER = [
     # --- source changes this round → need a fresh row (3)
     "dedup_fingerprint_survivors", "dedup_minhash_clusters",
     "decontam_ngram_overlap",
-    # --- round-3 additions + high-value r02 greens (fills to 50; new
-    #     registrations this round displace greens from this block)
-    "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
-    "dedup_exact_docs", "dedup_minhash_lsh", "props_extract_sum",
-    "pack_sequences_budget", "sample_balanced_per_lang",
-    "stream_sessionize_events", "hypertable_rollup_daily",
+    # --- round-3 additions: quality/curation operators (6)
+    "quality_repetition_rules", "pii_flag_docs", "split_assign_hash",
+    "seq_length_histogram", "tfidf_top_terms_per_source",
+    "embedding_norm_histogram",
+    # --- high-value r02 greens (fills to 50)
+    "flagship_multijoin_count", "dedup_minhash_lsh",
+    "pack_sequences_budget", "stream_sessionize_events",
     # ---------------- driver window boundary (50) ----------------
-    # --- r02-green, rotated to the tail (31)
+    # --- r02-green, rotated to the tail (37)
+    "sevenway_join_count", "pricing_summary", "dedup_exact_docs",
+    "props_extract_sum", "sample_balanced_per_lang",
+    "hypertable_rollup_daily",
     "text_token_stats", "text_bpe_token_count", "text_quality_scores",
     "text_langid", "text_fingerprint", "text_lang_summary",
     "text_pattern_flags", "text_top_terms",

@@ -1,0 +1,281 @@
+"""Data-quality / corpus-curation operators: Gopher-style repetition
+rules, PII flagging, deterministic split assignment, sequence-length
+histograms, TF-IDF top terms, and embedding-norm histograms.
+
+These are the filters a large-scale training-data pipeline runs between
+ingestion and tokenization (repetition rules are the cheap dominant
+filter in published pipelines — Gopher §A1.1, C4's heuristics). All pure
+Column expressions or explode+aggregate shapes (JVM-side, map-side
+combinable), each with an exact dual-rendered DuckDB oracle; doubles are
+single divisions of exact integers or bit-identical per-row folds, so
+value-hashes match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_for_compute
+from ..functions import texttools as tt
+from ..functions import vector as vec
+from .registry import register
+
+#: repetition-rule thresholds (Gopher-style, tuned to flag a minority of
+#: the synthetic corpus — the *rule shapes* are what matters)
+DUP_TOKEN_MAX = 0.55
+TOP_TOKEN_MAX = 0.10
+DUP_BIGRAM_MAX = 0.35
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGITRUN_PATTERN = r"[0-9]{7,}"
+
+#: deterministic split parameters (multiplicative hash, engine-portable
+#: integer arithmetic — same family as curation.SAMPLE_MULT)
+SPLIT_MULT = 48271
+SPLIT_MOD = 65537
+TRAIN_PCT, VALID_PCT = 80, 10
+
+SEQLEN_BIN = 32
+
+
+@register(
+    "quality_repetition_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tt.tokens_sql('text')} AS s FROM documents
+    ),
+    arr AS (
+      SELECT doc_id,
+             len(s) AS n_tok,
+             len(list_distinct(s)) AS n_distinct,
+             CASE WHEN len(s) >= 2 THEN
+               [s[i] || ' ' || s[i + 1] for i in range(1, len(s))]
+             ELSE []::VARCHAR[] END AS bg
+      FROM toks
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(s) AS tok FROM toks)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.n_tok - a.n_distinct AS DOUBLE) / a.n_tok AS dup_token_frac,
+           CAST(t.top_cnt AS DOUBLE) / a.n_tok AS top_token_frac,
+           CASE WHEN a.n_tok >= 2 THEN
+             CAST(len(a.bg) - len(list_distinct(a.bg)) AS DOUBLE) / len(a.bg)
+           ELSE 0.0 END AS dup_bigram_frac,
+           (CAST(a.n_tok - a.n_distinct AS DOUBLE) / a.n_tok
+                <= {DUP_TOKEN_MAX}
+            AND CAST(t.top_cnt AS DOUBLE) / a.n_tok <= {TOP_TOKEN_MAX}
+            AND (CASE WHEN a.n_tok >= 2 THEN
+                   CAST(len(a.bg) - len(list_distinct(a.bg)) AS DOUBLE)
+                       / len(a.bg)
+                 ELSE 0.0 END) <= {DUP_BIGRAM_MAX}) AS passes
+    FROM arr a JOIN top t USING (doc_id)
+    """,
+)
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction, most-
+    frequent-token share, duplicate-bigram fraction, and the combined
+    pass/fail flag. Array expressions handle the per-doc fractions; the
+    most-frequent token runs as explode → two-level aggregate (map-side
+    combine on (doc_id, token), then a max per doc) — one narrow shuffle
+    keyed by doc_id, no token lists ever collected."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    toks = tt.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    bg = F.zip_with(
+        F.slice(toks, 1, n_tok - 1),
+        F.slice(toks, 2, n_tok - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y))
+    dup_bigram = F.when(
+        n_tok >= 2,
+        (F.size(bg) - F.size(F.array_distinct(bg))).cast("double") / F.size(bg)
+    ).otherwise(F.lit(0.0))
+    arr = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        ((n_tok - n_distinct).cast("double") / n_tok).alias("dup_token_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+    )
+    top = (d.select("doc_id", F.explode(toks).alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id").agg(F.max("c").alias("top_cnt")))
+    j = arr.join(top, "doc_id")
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tok")
+    return j.select(
+        "doc_id",
+        "dup_token_frac",
+        top_frac.alias("top_token_frac"),
+        "dup_bigram_frac",
+        ((F.col("dup_token_frac") <= DUP_TOKEN_MAX)
+         & (top_frac <= TOP_TOKEN_MAX)
+         & (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX)).alias("passes"),
+    )
+
+
+@register(
+    "pii_flag_docs",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+           len(regexp_extract_all(text, '{DIGITRUN_PATTERN}'))
+               AS n_digit_runs,
+           (len(regexp_extract_all(text, '{EMAIL_PATTERN}')) > 0
+            OR len(regexp_extract_all(text, '{DIGITRUN_PATTERN}')) > 0)
+               AS flagged
+    FROM documents
+    """,
+)
+def pii_flag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-screen: count email-shaped and long-digit-run matches per
+    document and flag any hit — the cheap regex pass that routes documents
+    to a real PII pipeline. Patterns are kept in the common RE2/Java
+    regex subset so both engines match identically."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    n_email = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(EMAIL_PATTERN), F.lit(0)))
+    n_digit = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(DIGITRUN_PATTERN), F.lit(0)))
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_digit.alias("n_digit_runs"),
+        ((n_email > 0) | (n_digit > 0)).alias("flagged"),
+    )
+
+
+@register(
+    "split_assign_hash",
+    oracle=f"""
+    SELECT doc_id, lang,
+           (doc_id * {SPLIT_MULT} + 11) % {SPLIT_MOD} % 100 AS bucket,
+           CASE WHEN (doc_id * {SPLIT_MULT} + 11) % {SPLIT_MOD} % 100
+                     < {TRAIN_PCT} THEN 'train'
+                WHEN (doc_id * {SPLIT_MULT} + 11) % {SPLIT_MOD} % 100
+                     < {TRAIN_PCT + VALID_PCT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment from a multiplicative
+    hash of the stable doc_id — reproducible across engines and runs
+    (unlike ``rand()``-based splits), map-only, and safe to recompute
+    anywhere in the pipeline instead of materializing a split column.
+    Engine-portable integer arithmetic (no overflow: id·48271 ≪ 2^63)."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    bucket = (F.col("doc_id") * SPLIT_MULT + 11) % SPLIT_MOD % 100
+    return d.select(
+        "doc_id", "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VALID_PCT, "valid")
+        .otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "seq_length_histogram",
+    oracle=f"""
+    SELECT least(len({tt.tokens_sql('text')}) // {SEQLEN_BIN}, 31) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(len({tt.tokens_sql('text')})) AS BIGINT) AS min_tokens,
+           CAST(MAX(len({tt.tokens_sql('text')})) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (32-token bins, clamped top bin) — the
+    shape you check before choosing packing budgets and truncation
+    lengths. Map-side combinable single aggregation."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    n_tok = F.size(tt.tokens(F.col("text")))
+    return (d.select(F.least(n_tok / SEQLEN_BIN, F.lit(31))
+                     .cast("bigint").alias("bin"),
+                     n_tok.alias("n_tok"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_tok").cast("bigint").alias("min_tokens"),
+                 F.max("n_tok").cast("bigint").alias("max_tokens")))
+
+
+@register(
+    "tfidf_top_terms_per_source",
+    oracle="""
+    WITH ex AS (
+      SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ex GROUP BY source, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT source, term FROM ex) GROUP BY term
+    ),
+    scored AS (
+      SELECT t.source, t.term, t.tf, d.df,
+             CAST(t.tf AS DOUBLE) / d.df AS score,
+             ROW_NUMBER() OVER (PARTITION BY t.source
+                                ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                         t.tf DESC, t.term ASC) AS rk
+      FROM tf t JOIN df d USING (term)
+    )
+    SELECT source, term, tf, df, score
+    FROM scored WHERE rk <= 5
+    """,
+)
+def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source: tf over the source, down-weighted
+    by how many sources contain the term (rational tf/df score — exact
+    integer division keeps the hash engine-portable where a float ln()
+    idf would risk 1-ulp skew). Two shuffles — (source, term) counts with
+    map-side combine, then the per-source top-5 window — plus a term-keyed
+    join for df; the window input is already reduced to distinct terms."""
+    d = load_for_compute(spark, sf_dir, "documents", "source")
+    ex = d.select("source", F.explode(tt.tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (ex.select("source", "term").distinct()
+          .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("source").orderBy(
+        score.desc(), F.col("tf").desc(), F.col("term").asc())
+    return (tf.join(df, "term")
+            .withColumn("score", score)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("source", "term", "tf", "df", "score"))
+
+
+@register(
+    "embedding_norm_histogram",
+    oracle=f"""
+    SELECT label,
+           CAST(floor({vec.norm2_sql('embedding')} * 8) AS BIGINT)
+               AS norm_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings
+    GROUP BY 1, 2
+    """,
+)
+def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram per label over the embedding corpus — the sanity
+    check before cosine-based dedup/ANN (un-normalized vectors silently
+    break inner-product shortcuts). Per-row norms are strict left-to-right
+    double folds (bit-identical across engines, like ``vec.cosine``), so
+    bucketing them is hash-safe; the aggregation is one map-side-combined
+    groupBy."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    bucket = F.floor(vec.norm2(F.col("embedding")) * 8).cast("bigint")
+    return (e.select("label", bucket.alias("norm_bucket"))
+            .groupBy("label", "norm_bucket")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))

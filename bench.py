@@ -43,6 +43,9 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "pack_sequences_budget",
     "sample_balanced_per_lang",
+    # quality / splits (round 3)
+    "quality_repetition_rules",
+    "tfidf_top_terms_per_source",
     # optimizer-pipeline + streaming shapes
     "plan_selection_argmin",
     "spearman_rank_corr",
