@@ -60,13 +60,15 @@ _DRIVER_ORDER = [
     "quality_repetition_rules", "pii_flag_docs", "split_assign_hash",
     "seq_length_histogram", "tfidf_top_terms_per_source",
     "embedding_norm_histogram",
+    # --- round-3 addition: stream-stream interval join, batch form (1)
+    "stream_conversion_attribution",
     # --- high-value r02 greens (fills to 50)
-    "flagship_multijoin_count", "dedup_minhash_lsh",
-    "pack_sequences_budget", "stream_sessionize_events",
+    "dedup_minhash_lsh", "pack_sequences_budget",
+    "stream_sessionize_events",
     # ---------------- driver window boundary (50) ----------------
-    # --- r02-green, rotated to the tail (37)
-    "sevenway_join_count", "pricing_summary", "dedup_exact_docs",
-    "props_extract_sum", "sample_balanced_per_lang",
+    # --- r02-green, rotated to the tail (38)
+    "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
+    "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
     "hypertable_rollup_daily",
     "text_token_stats", "text_bpe_token_count", "text_quality_scores",
     "text_langid", "text_fingerprint", "text_lang_summary",

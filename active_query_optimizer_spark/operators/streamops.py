@@ -96,3 +96,31 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
             .agg(F.sum("n").alias("n_events"),
                  F.round(F.sum("v"), 2).cast("double").alias("sum_value")))
+
+
+@register(
+    "stream_conversion_attribution",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (clicks matched to same-user purchases within
+    a 30-minute lag) — the batch form of the stream-stream interval join
+    (``streaming/joins.correlate_event_streams``): equi-key shuffle on
+    user_id, event-time interval as a post-join bound, values passed
+    through untouched so the hash is exact. In streaming mode the same
+    code runs with watermarks on both sides bounding the join state."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..streaming.joins import correlate_event_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    return correlate_event_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"))

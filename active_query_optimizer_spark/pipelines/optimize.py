@@ -31,15 +31,19 @@ def choose_plan(spark: SparkSession, sql: str, model: LeroModel,
 
     The candidate space is hints + rotations + conf knobs — and, when the
     compiled Catalyst extension is loaded in this session, the injected
-    rule's modes as well (``plans/extension.py``), deduplicated against
-    the hint variants by plan fingerprint: one ranker, both steering
-    mechanisms."""
+    rule's whole-plan modes AND its per-join-index strategy deviations
+    (``plans/extension.py``, the reference's per-join-operator
+    granularity), deduplicated against the hint variants by plan
+    fingerprint: one ranker, every steering mechanism."""
     cands = plan_variants(spark, sql, strategies)
     from ..plans import extension as _ext
     if _ext.is_extension_loaded(spark):
         seen = {c.fingerprint for c in cands}
-        cands += [c for c in _ext.plan_mode_candidates(spark, sql)
-                  if c.fingerprint not in seen]
+        for c in (_ext.plan_mode_candidates(spark, sql)
+                  + _ext.per_join_candidates(spark, sql, seen=set(seen))):
+            if c.fingerprint not in seen:
+                seen.add(c.fingerprint)
+                cands.append(c)
     if not cands:
         raise ValueError("query produced no plannable variants")
     assert model.fg is not None

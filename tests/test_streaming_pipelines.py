@@ -296,3 +296,36 @@ def test_live_deployment_end_to_end(spark):
     assert len(out["latency_series"]) == n
     assert len(out["ranking_loss_series"]) == n
     assert all(v > 0 for v in out["latency_series"])
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream conversion attribution: clicks joined to purchases by
+    user within a bounded event-time lag. Watermarks on both sides + the
+    interval condition bound the join state; the identical plan over batch
+    frames is the correctness oracle (pair sets must match exactly)."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.streaming import (
+        correlate_event_streams)
+
+    ev = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "events")
+    ev.write.mode("overwrite").parquet(src)
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    expect = {(r["click_id"], r["purchase_id"])
+              for r in correlate_event_streams(clicks_b, purch_b).collect()}
+    assert expect, "no attributable pairs in fixture"
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = correlate_event_streams(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"))
+    sink = f"ssjoin_{abs(hash(src)) % 10**8}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["purchase_id"])
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    assert got == expect
