@@ -37,3 +37,46 @@ def test_bucketed_spine_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_curated_sink_round_trip_prunes_partitions(spark, tmp_path):
+    """Publish step: split/lang-partitioned parquet written with bounded
+    files per directory; reading with a split filter must prune at the
+    PartitionFilters level (trainer never lists valid/test), and the
+    round-trip content must match the input exactly."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.operators import QUERIES
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.sources.curated import (
+        read_curated, write_curated)
+
+    splits = QUERIES["split_assign_hash"](spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    cur = docs.join(splits.select("doc_id", "lang", "split"), "doc_id")
+    out = str(tmp_path / "curated")
+    write_curated(cur, out)
+
+    back = read_curated(spark, out)
+    assert back.count() == cur.count()
+    got = {r["doc_id"]: (r["split"], r["lang"]) for r in back.collect()}
+    want = {r["doc_id"]: (r["split"], r["lang"]) for r in cur.collect()}
+    assert got == want
+
+    train = back.filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+    # every partition directory holds exactly one data file
+    import glob
+    for d in glob.glob(out + "/split=*/lang=*"):
+        files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    # salted fan-out: two writers per directory, still deterministic
+    out2 = str(tmp_path / "curated2")
+    write_curated(cur, out2, files_per_partition=2, salt_col="doc_id")
+    for d in glob.glob(out2 + "/split=*/lang=*"):
+        files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2, (d, files)
+    assert read_curated(spark, out2).count() == cur.count()
