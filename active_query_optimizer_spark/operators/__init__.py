@@ -17,7 +17,7 @@ from . import relational  # noqa: F401
 from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
-             "pipelineops", "streamops", "curation", "quality"):
+             "pipelineops", "streamops", "curation", "quality", "analytics"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover - partial checkout
@@ -51,8 +51,6 @@ _DRIVER_ORDER = [
     # --- r02 non-green: multimodal now exact-oracled (3)
     "multimodal_feature_extract", "multimodal_resize_grid",
     "multimodal_frame_sample",
-    # --- r02 non-green: legitimately approximate, rows-only by design (3)
-    "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- source changes this round → need a fresh row (3)
     "dedup_fingerprint_survivors", "dedup_minhash_clusters",
     "decontam_ngram_overlap",
@@ -62,10 +60,18 @@ _DRIVER_ORDER = [
     "embedding_norm_histogram",
     # --- round-3 addition: stream-stream interval join, batch form (1)
     "stream_conversion_attribution",
-    # --- high-value r02 greens (fills to 50)
+    # --- round-3 additions: analytics / kNN / token-freq / semantic CC (5)
+    "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
+    "quality_token_freq_score", "dedup_embedding_clusters",
+    # --- legitimately approximate, rows-only by design: the production
+    #     LSH path re-earns a current row; ivf/coreset hold r02 rows (1)
+    "ann_lsh_bucketed",
+    # ---------------- driver window boundary (50) ----------------
+    # --- rows-only r02 by design, unchanged source, rotated out (2)
+    "ann_ivf_topk", "coreset_select_embeddings",
+    # --- r02-green fillers rotated back out (3)
     "dedup_minhash_lsh", "pack_sequences_budget",
     "stream_sessionize_events",
-    # ---------------- driver window boundary (50) ----------------
     # --- r02-green, rotated to the tail (38)
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
     "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",

@@ -1,0 +1,126 @@
+"""Event-analytics operators over the ``events`` table: ordered-funnel
+conversion and weekly cohort retention.
+
+These are the workload-analysis queries a training-data platform runs over
+its own telemetry (ingest → filter → dedup → publish stage progression maps
+exactly onto an event funnel; cohort retention is the canonical "did users
+who arrived in week W come back in week W+k" rollup). Both are pure
+integer-count outputs, so the driver hash is trivially exact.
+
+Scale shape: every stage keys by ``user_id`` — one hash partitioning
+serves the whole funnel chain (the per-stage groupBys and joins reuse the
+exchange), and retention's second aggregate shuffles only
+``(cohort_week, week_offset, user_id)`` triples, never raw events.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+#: ordered conversion stages (events outside the funnel are ignored)
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_stage_users(ev: DataFrame,
+                       stages: tuple[str, ...] = FUNNEL_STAGES) -> list[DataFrame]:
+    """Per-stage reached-user frames: ``[user_id, t_i]`` where ``t_i`` is the
+    first time the user completed stage i *after* completing stage i-1.
+
+    The strict-order semantics (a click before your first qualifying view
+    does not count) is the sequential-minimum formulation: every step is a
+    groupBy + equi-join on ``user_id``, so all stages share one hash
+    partitioning and the chain adds no new exchanges after the first."""
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for stage in stages:
+        s = ev.filter(F.col("event_type") == stage)
+        if prev is None:
+            cur = s.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (s.join(prev, "user_id")
+                   .filter(F.col("ts") >= F.col("t_prev"))
+                   .groupBy("user_id").agg(F.min("ts").alias("t")))
+        reached.append(cur)
+        prev = cur.select("user_id", F.col("t").alias("t_prev"))
+    return reached
+
+
+@register(
+    "event_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+    """,
+)
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: stage i
+    counts users whose first qualifying stage-i event is at or after their
+    first qualifying stage-(i-1) event (strict sequence, not mere
+    presence). Four rows out; all counts exact."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    reached = funnel_stage_users(ev)
+    rows = [
+        cur.agg(F.lit(i + 1).alias("step"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_users"))
+        for i, (stage, cur) in enumerate(zip(FUNNEL_STAGES, reached))
+    ]
+    return reduce(DataFrame.unionByName, rows)
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week,
+                                date_trunc('week', e.ts)) / 7)
+                AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; for each (cohort, weeks-since-cohort) cell, the distinct
+    users active in that week. The classic retention triangle — only
+    ``(cohort_week, week_offset, user_id)`` reaches the second aggregate,
+    and the first-seen frame joins back on the same ``user_id``
+    partitioning the groupBy produced."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = ev.join(first_seen, "user_id").select(
+        "user_id", "cohort_week",
+        F.date_trunc("week", F.col("ts")).alias("act_week"))
+    week_offset = F.floor(
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int")
+    return (act.groupBy("cohort_week", week_offset.alias("week_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users")))

@@ -500,3 +500,57 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
             .withColumn("is_survivor",
                         F.col("doc_id") == F.col("cluster_id")))
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % {SAMPLE_MOD} = 0 AND b.vec_id % {SAMPLE_MOD} = 0
+        AND {vec.cosine_sql('a.embedding', 'b.embedding')}
+            >= {COSINE_SAMPLED_THRESHOLD}
+    ), und AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ), reach(node, lab) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node
+    ), comp AS (
+      SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT s.vec_id,
+           COALESCE(c.cluster_id, s.vec_id) AS cluster_id,
+           (s.vec_id = COALESCE(c.cluster_id, s.vec_id)) AS is_survivor
+    FROM (SELECT vec_id FROM embeddings
+          WHERE vec_id % {SAMPLE_MOD} = 0) s
+    LEFT JOIN comp c USING (vec_id)
+    """,
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup clusters: the sampled exact
+    pair stream from ``dedup_embedding_cosine`` becomes an undirected
+    graph; connected components assign every vector the smallest reachable
+    vec_id. The semantic twin of ``dedup_minhash_clusters`` — at scale the
+    edge stream comes from ``ann_lsh_bucketed`` candidates instead of the
+    sampled brute-force baseline, and the same pointer-jumping loop
+    consumes it unchanged (component count is edge-bound, not corpus-
+    bound)."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).persist()
+    sampled = (load_table(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") % SAMPLE_MOD == 0)
+               .select("vec_id"))
+    touched = (pairs.select(F.col("src").alias("vec_id"))
+               .union(pairs.select(F.col("dst").alias("vec_id")))
+               .distinct())
+    comp = connected_components(pairs, touched, node_col="vec_id")
+    # same deliberate single-entry cache retention as dedup_minhash_clusters
+    return (sampled
+            .join(comp, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+            .withColumn("is_survivor",
+                        F.col("vec_id") == F.col("cluster_id")))

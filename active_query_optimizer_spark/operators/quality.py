@@ -279,3 +279,45 @@ def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.select("label", bucket.alias("norm_bucket"))
             .groupBy("label", "norm_bucket")
             .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+@register(
+    "quality_token_freq_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tt.tokens_sql('text')}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(tf.freq) AS BIGINT) AS sum_token_freq,
+           MIN(tf.freq) AS min_token_freq,
+           CAST(CAST(SUM(tf.freq) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_token_freq
+    FROM tok t JOIN tf USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def quality_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality score: every document scored by how common
+    its tokens are across the whole corpus (docs full of rare garbage
+    tokens score low on ``avg_token_freq`` / ``min_token_freq`` — the
+    cheap distributional cousin of LM-perplexity filtering).
+
+    Two-pass shape: explode tokens once, aggregate term frequencies
+    (map-side combinable; the token key is skewed toward stopwords, which
+    partial aggregation absorbs before the shuffle), then join the
+    exploded stream back to the frequency table on ``token`` and re-agg by
+    ``doc_id``. All counts are BIGINT; the only double is one final
+    division of exact integers, so the hash is deterministic."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("doc_id", F.explode(tt.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (tok.join(tf, "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("freq").alias("sum_token_freq"),
+                 F.min("freq").alias("min_token_freq"),
+                 (F.sum("freq").cast("double") /
+                  F.count(F.lit(1)).cast("double")).alias("avg_token_freq")))

@@ -215,3 +215,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.select("query_id", "neighbor_id",
                         F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= TOP_K))
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             {vec.cosine_sql('q.qe', 'e.embedding')} AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), topk AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC)
+                 AS rank
+        FROM scored
+      ) WHERE rank <= {TOP_K}
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes FROM topk
+      GROUP BY query_id, label
+    )
+    SELECT v.query_id, v.label AS predicted_label,
+           CAST(v.n_votes AS BIGINT) AS n_votes, e.label AS true_label
+    FROM (
+      SELECT query_id, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label ASC) AS r
+      FROM votes
+    ) v JOIN embeddings e ON e.vec_id = v.query_id
+    WHERE v.r = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding table: each query point takes
+    the majority label of its ``TOP_K`` exact-cosine neighbors (ties broken
+    toward the smaller label, deterministically). Composes the exact top-k
+    search with a vote aggregate — the label join touches only k rows per
+    query, so the heavy side remains the single scan ``ann_cosine_topk``
+    already does; everything after it is k×|queries| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = ann_cosine_topk(spark, sf_dir)
+    votes = (topk.join(e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                       "neighbor_id")
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc())
+    best = (votes.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    "n_votes"))
+    truth = e.select(F.col("vec_id").alias("query_id"),
+                     F.col("label").alias("true_label"))
+    return best.join(truth, "query_id")
