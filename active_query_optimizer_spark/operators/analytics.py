@@ -7,15 +7,13 @@ exactly onto an event funnel; cohort retention is the canonical "did users
 who arrived in week W come back in week W+k" rollup). Both are pure
 integer-count outputs, so the driver hash is trivially exact.
 
-Scale shape: every stage keys by ``user_id`` — one hash partitioning
-serves the whole funnel chain (the per-stage groupBys and joins reuse the
-exchange), and retention's second aggregate shuffles only
+Scale shape: the funnel reads the fact table ONCE and shuffles once by
+``user_id`` (per-user sorted-array folds, not a per-stage scan+join
+chain), and retention's second aggregate shuffles only
 ``(cohort_week, week_offset, user_id)`` triples, never raw events.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,28 +25,39 @@ from .registry import register
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
-def funnel_stage_users(ev: DataFrame,
-                       stages: tuple[str, ...] = FUNNEL_STAGES) -> list[DataFrame]:
-    """Per-stage reached-user frames: ``[user_id, t_i]`` where ``t_i`` is the
-    first time the user completed stage i *after* completing stage i-1.
+def funnel_stage_times(ev: DataFrame,
+                       stages: tuple[str, ...] = FUNNEL_STAGES) -> DataFrame:
+    """Per-user stage-completion times ``[user_id, t_1 .. t_n]`` where
+    ``t_i`` is the first time the user completed stage i at-or-after their
+    ``t_{i-1}`` (NULL once a stage is never reached).
 
-    The strict-order semantics (a click before your first qualifying view
-    does not count) is the sequential-minimum formulation: every step is a
-    groupBy + equi-join on ``user_id``, so all stages share one hash
-    partitioning and the chain adds no new exchanges after the first."""
-    reached: list[DataFrame] = []
-    prev: DataFrame | None = None
-    for stage in stages:
-        s = ev.filter(F.col("event_type") == stage)
-        if prev is None:
-            cur = s.groupBy("user_id").agg(F.min("ts").alias("t"))
-        else:
-            cur = (s.join(prev, "user_id")
-                   .filter(F.col("ts") >= F.col("t_prev"))
-                   .groupBy("user_id").agg(F.min("ts").alias("t")))
-        reached.append(cur)
-        prev = cur.select("user_id", F.col("t").alias("t_prev"))
-    return reached
+    ONE pass, ONE shuffle: funnel-relevant events are filtered at the scan
+    (the predicate pushes down to parquet), shuffled once by ``user_id``,
+    and each user's time-sorted event array is folded once per stage — the
+    sequential-minimum semantics without re-scanning the fact table per
+    stage (the naive per-stage groupBy+join chain reads a 100 TB events
+    table four times; this reads it once). Per-user arrays are bounded by
+    per-user event counts — cap with a slice if a bot user can emit
+    millions of rows."""
+    relevant = ev.filter(F.col("event_type").isin(*stages))
+    per_user = relevant.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type")))
+        .alias("evs"))
+    def _first_at(stage: str, prev):
+        def fold(acc, x):
+            qual = x["event_type"] == stage
+            if prev is not None:
+                qual = qual & (x["ts"] >= prev)
+            return F.when(acc.isNull() & qual, x["ts"]).otherwise(acc)
+
+        return F.aggregate(F.col("evs"),
+                           F.lit(None).cast("timestamp"), fold)
+
+    prev = None
+    for i, stage in enumerate(stages):
+        per_user = per_user.withColumn(f"t{i + 1}", _first_at(stage, prev))
+        prev = F.col(f"t{i + 1}")
+    return per_user.drop("evs")
 
 
 @register(
@@ -80,14 +89,15 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence). Four rows out; all counts exact."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    reached = funnel_stage_users(ev)
-    rows = [
-        cur.agg(F.lit(i + 1).alias("step"),
-                F.lit(stage).alias("stage"),
-                F.count(F.lit(1)).alias("n_users"))
-        for i, (stage, cur) in enumerate(zip(FUNNEL_STAGES, reached))
-    ]
-    return reduce(DataFrame.unionByName, rows)
+    times = funnel_stage_times(ev)
+    counts = times.agg(*[
+        F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}")   # count skips NULLs
+        for i in range(len(FUNNEL_STAGES))
+    ])
+    stack = ", ".join(f"{i + 1}, '{s}', n{i + 1}"
+                      for i, s in enumerate(FUNNEL_STAGES))
+    return counts.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack}) AS (step, stage, n_users)")
 
 
 @register(

@@ -20,6 +20,7 @@ NESTED_LOOP_BY_DESIGN = {
     "nested_loop_theta_count",    # the §2.A Nested Loop operator itself
     "dedup_embedding_cosine",     # bounded all-pairs correctness baseline
     "ann_cosine_topk",            # broadcast query set × corpus exact scan
+    "knn_label_vote",             # composes ann_cosine_topk's exact scan
     "range_join_value_bands",     # broadcast interval join (small bands)
 }
 
