@@ -47,7 +47,6 @@ _DRIVER_ORDER = [
     "count_min_multi_agg", "groupby_having", "distinct_count",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
     "intersect_except_keys", "case_when_bucket_agg", "date_trunc_monthly",
-    "datetime_parts_agg",
     # --- r02 non-green: multimodal now exact-oracled (3)
     "multimodal_feature_extract", "multimodal_resize_grid",
     "multimodal_frame_sample",
@@ -60,15 +59,17 @@ _DRIVER_ORDER = [
     "embedding_norm_histogram",
     # --- round-3 addition: stream-stream interval join, batch form (1)
     "stream_conversion_attribution",
-    # --- round-3 additions: analytics / kNN / token-freq / semantic CC (5)
+    # --- round-3 additions: analytics / kNN / token-freq / semantic CC /
+    #     cross-source overlap / percentiles (7: first rows outrank
+    #     re-greening unchanged r02 entries)
     "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
     "quality_token_freq_score", "dedup_embedding_clusters",
-    # --- legitimately approximate, rows-only by design: the production
-    #     LSH path re-earns a current row; ivf/coreset hold r02 rows (1)
-    "ann_lsh_bucketed",
+    "cross_source_overlap", "stats_length_percentiles",
     # ---------------- driver window boundary (50) ----------------
-    # --- rows-only r02 by design, unchanged source, rotated out (2)
-    "ann_ivf_topk", "coreset_select_embeddings",
+    # --- r01-green basic displaced by the additions above (1)
+    "datetime_parts_agg",
+    # --- rows-only r02 by design, unchanged source, rotated out (3)
+    "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)
     "dedup_minhash_lsh", "pack_sequences_budget",
     "stream_sessionize_events",

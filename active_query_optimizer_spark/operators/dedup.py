@@ -554,3 +554,38 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
             .withColumn("is_survivor",
                         F.col("vec_id") == F.col("cluster_id")))
+
+
+@register(
+    "cross_source_overlap",
+    oracle=f"""
+    WITH fps AS (
+      SELECT DISTINCT source, {tt.fingerprint_sql('text')} AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of distinct content fingerprints present in both — the first
+    question asked before mixing crawl snapshots ("how much of source B is
+    already in source A?").
+
+    Scale shape: documents collapse to distinct ``(source, fp)`` pairs
+    first (one fingerprint per doc, map-side combined), then a self-join
+    on ``fp`` — both sides share the fingerprint partitioning, and per-fp
+    group sizes are bounded by the source count, so the join cannot
+    explode. Only fingerprints move, never text."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    fps = (d.select("source", tt.fingerprint(F.col("text")).alias("fp"))
+           .distinct())
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared")))

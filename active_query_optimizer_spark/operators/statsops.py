@@ -104,3 +104,28 @@ def stats_column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_nationkey").alias("ndv_nation"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "stats_length_percentiles",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           quantile_cont(n_chars, 0.99) AS p99_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def stats_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length percentiles (linear
+    interpolation — both engines use the same ``v[l] + (h-l)·(v[l+1]-v[l])``
+    formula on double, so values hash-match bit-for-bit). The harvester's
+    scale path swaps in ``approx_percentile`` sketches; this exact form
+    pins the semantics and serves as its correctness anchor in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+                 F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+                 F.percentile("n_chars", F.lit(0.99)).alias("p99_chars")))

@@ -46,6 +46,12 @@ HEADLINE = [
     # quality / splits (round 3)
     "quality_repetition_rules",
     "tfidf_top_terms_per_source",
+    # analytics / kNN / token-freq / cross-source (round 3)
+    "event_funnel_steps",
+    "cohort_retention_weekly",
+    "knn_label_vote",
+    "quality_token_freq_score",
+    "cross_source_overlap",
     # optimizer-pipeline + streaming shapes
     "plan_selection_argmin",
     "spearman_rank_corr",

@@ -97,3 +97,28 @@ def test_embedding_clusters_consistent_with_pairs(spark):
         assert clusters[p["vec_a"]] == clusters[p["vec_b"]], p
     assert all(cid <= vid for vid, cid in clusters.items())
     assert all(clusters[cid] == cid for cid in clusters.values())
+
+
+def test_length_percentiles_ordered(spark):
+    for r in QUERIES["stats_length_percentiles"](spark, SF_SMALL).collect():
+        assert r["p50_chars"] <= r["p90_chars"] <= r["p99_chars"]
+        assert r["n_docs"] > 0
+
+
+def test_cross_source_overlap_bounded_by_distinct_fps(spark):
+    """n_shared for (a,b) can never exceed either source's distinct
+    fingerprint count; pairs are emitted once with source_a < source_b."""
+    from active_query_optimizer_spark.catalog import load_table
+
+    per_source = {
+        r["source"]: r["n_fps"]
+        for r in QUERIES["text_fingerprint"](spark, SF_SMALL)
+        .join(load_table(spark, SF_SMALL, "documents")
+              .select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(F.count_distinct("fp").alias("n_fps"))
+        .collect()}
+    rows = QUERIES["cross_source_overlap"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["n_shared"] <= min(per_source[r["source_a"]],
+                                        per_source[r["source_b"]])
