@@ -115,6 +115,30 @@ def string_value_stats(df: DataFrame, columns: list[str] | None = None,
     return out
 
 
+def numeric_percentiles(df: DataFrame, columns: list[str] | None = None,
+                        probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                        approx: bool = False,
+                        accuracy: int = 10_000) -> dict[str, dict[str, float]]:
+    """``{col: {"p50": .., ...}}`` for numeric columns, in ONE aggregate
+    pass. ``approx=False`` uses exact ``percentile`` (sorts each column's
+    values — fine for harvest-sized tables and for anchoring tests);
+    ``approx=True`` uses the ``percentile_approx`` sketch — the 100 TB
+    path: mergeable per-partition sketches, no global sort, error bounded
+    by 1/``accuracy`` of rank (the anchor test pins drift vs exact)."""
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if isinstance(f.dataType, NUMERIC_TYPES)]
+    if not columns:
+        return {}
+    fn = ((lambda c: F.percentile_approx(c, list(probs), accuracy))
+          if approx else (lambda c: F.percentile(c, F.array(
+              *[F.lit(p) for p in probs]))))
+    row = df.agg(*[fn(c).alias(c) for c in columns]).collect()[0].asDict()
+    return {c: {f"p{int(p * 100)}": _jsonable(v)
+                for p, v in zip(probs, row[c])}
+            for c in columns if row[c] is not None}
+
+
 def harvest_table_stats(df: DataFrame,
                         filter_columns: set[str] | None = None) -> dict[str, Any]:
     """range_dict entries for one table. ``filter_columns`` restricts the

@@ -213,3 +213,21 @@ def test_read_plan_bundles(spark, tmp_path):
     for r in rows:
         byq.setdefault(r["qid"], []).append((r["candidate_idx"], r["plan_json"]))
     assert sorted(byq["q1"]) == [(0, p1), (1, p2)]
+
+
+def test_percentile_sketch_anchored_to_exact(spark):
+    """The scale-path percentile sketch must track the exact percentiles:
+    with rank error ≤ n/accuracy, at accuracy=10k and harvest-sized n the
+    sketch answer is an actual element within a whisker of the exact rank
+    — assert relative drift under 5%."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.stats.harvester import (
+        numeric_percentiles)
+
+    d = load_table(spark, SF_SMALL, "documents").select("n_chars")
+    exact = numeric_percentiles(d, ["n_chars"])["n_chars"]
+    sketch = numeric_percentiles(d, ["n_chars"], approx=True)["n_chars"]
+    assert set(exact) == {"p50", "p90", "p99"}
+    for k in exact:
+        assert abs(sketch[k] - exact[k]) <= 0.05 * max(exact[k], 1.0), (
+            k, sketch[k], exact[k])
