@@ -149,6 +149,9 @@ def test_jar_not_stale_vs_java_source():
     newest_src = max(
         os.path.getmtime(os.path.join(dp, f))
         for dp, _, fns in os.walk(src_dir) for f in fns if f.endswith(".java"))
-    assert os.path.getmtime(jar) >= newest_src, (
+    # 5 s slack: git checkout order can put the source a few ms after the
+    # jar even when both were committed together — only a real edit gap
+    # (minutes) should fail the guard.
+    assert os.path.getmtime(jar) >= newest_src - 5.0, (
         "jvmext java source is newer than the committed jar — "
         "re-run jvmext/build.sh")
