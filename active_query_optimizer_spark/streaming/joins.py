@@ -31,11 +31,13 @@ def correlate_event_streams(clicks: DataFrame, purchases: DataFrame,
 
     Emits one row per (click, purchase) pair in the window; downstream
     dedup (e.g. first click wins) is a separate aggregation choice."""
+    from .windowed import ensure_event_time
+
     c, p = clicks, purchases
     if c.isStreaming:
-        c = c.withWatermark("ts", watermark)
+        c = ensure_event_time(c).withWatermark("ts", watermark)
     if p.isStreaming:
-        p = p.withWatermark("ts", watermark)
+        p = ensure_event_time(p).withWatermark("ts", watermark)
     c = c.select(F.col("user_id").alias("c_user"),
                  F.col("event_id").alias("click_id"),
                  F.col("ts").alias("click_ts"))

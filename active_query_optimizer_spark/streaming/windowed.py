@@ -19,6 +19,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (with local tz); parquet written without
+    ``isAdjustedToUTC`` reads back as TIMESTAMP_NTZ under Spark's NTZ
+    inference and ``withWatermark`` rejects it. Reinterpret the wall-clock
+    in the session zone — a type-level fix only; window boundaries and
+    collected wall-clock values are unchanged."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
@@ -28,7 +40,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     the delay; on a batch source the same plan is a plain grouped agg."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = ensure_event_time(events).withWatermark("ts", watermark)
     return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  # decimal accumulation, ROUNDed to scale 2 before the
@@ -45,7 +57,7 @@ def sessionize_events(events: DataFrame, gap: str = "30 minutes",
     """Per-user session windows with an inactivity ``gap``."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = ensure_event_time(events).withWatermark("ts", watermark)
     return (src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
