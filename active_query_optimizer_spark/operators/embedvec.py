@@ -1,0 +1,152 @@
+"""Embedding-column preprocessing operators: int8 scalar quantization and
+per-dimension corpus moments — the two steps a vector pipeline runs between
+embedding generation and index build (quantize for memory/IO, dimension
+stats for whitening/standardization).
+
+Both are pure JVM higher-order-function expressions over the
+``array<float>`` column (no UDFs) with exact DuckDB oracles. The float→
+integer quantizations are engine-portable by construction: every float32
+widens exactly to double, double ``*`` and ``/`` are correctly rounded
+identically in the JVM and DuckDB, and ``floor`` is exact — so the
+quantized integers (and everything aggregated from them) value-hash
+equal across engines. This is the same discipline as
+``functions/vector.py``'s left-to-right cosine folds, applied to stats
+that must also be order-INdependent (integer sums commute; double sums
+do not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_for_compute
+from .registry import register
+
+#: symmetric int8 range: q = clamp(round_half_up(v / (amax/127)), ±127)
+QUANT_LEVELS = 127
+#: scale column is surfaced micro-quantized (×1e9, floor) so it stays a
+#: hashable integer; 1e9 keeps 9 significant digits of a scale ≤ ~1.0
+SCALE_Q = 1_000_000_000
+#: per-dimension sums quantize elements at 1e6 (mean precision ~1e-6);
+#: squared sums at 1e3 — |v| ≤ ~1 ⇒ vq3² ≤ ~1e6 per element, so the int64
+#: accumulator holds to ~1e12 rows; past that, swap the sum accumulator
+#: to DECIMAL(38,0) (two-level: exact per-partition int64 partials, one
+#: decimal final fold) — the quantization itself is scale-free
+DIM_Q = 1_000_000
+DIM_Q3 = 1_000
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                 v -> abs(CAST(v AS DOUBLE)))) AS amax,
+             CASE WHEN list_max(list_transform(embedding,
+                      v -> abs(CAST(v AS DOUBLE)))) = 0
+               THEN list_transform(embedding, v -> 0::BIGINT)
+               ELSE list_transform(embedding, v -> CAST(FLOOR(
+                 CAST(v AS DOUBLE)
+                   / (list_max(list_transform(embedding,
+                        vv -> abs(CAST(vv AS DOUBLE)))) / {QUANT_LEVELS}.0)
+                   + 0.5) AS BIGINT))
+             END AS qs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(FLOOR(amax / {QUANT_LEVELS}.0 * {SCALE_Q}) AS BIGINT)
+               AS scale_q,
+           CAST(len(list_filter(qs,
+               x -> abs(x) > {QUANT_LEVELS})) AS BIGINT) AS n_clipped,
+           CAST(list_sum(list_transform(qs,
+               x -> least(greatest(x, -{QUANT_LEVELS}), {QUANT_LEVELS})
+                    * least(greatest(x, -{QUANT_LEVELS}), {QUANT_LEVELS})))
+             AS BIGINT) AS sum_q2
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization summary: the quantization
+    scale (``amax/127``, micro-quantized to an integer), how many raw
+    quantized values exceeded the int8 range before clamping, and the
+    energy of the clamped codes (``Σ q_i²`` — the quantity an IVF-PQ
+    residual analysis reads).
+
+    ``floor(x + 0.5)`` is the explicit HALF-UP rounding — chosen over the
+    engines' ``round`` builtins because *those* disagree (banker's vs
+    half-away) while floor is exact everywhere.
+
+    Scale: map-only over the embeddings table — no shuffle at all; each
+    row's work is O(dim) codegen'd array math. At 100 TB this is the
+    io-bound pass you'd fuse with the parquet rewrite that stores the
+    codes."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / float(QUANT_LEVELS)
+    raw_q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
+    qs = F.when(amax == 0,
+                F.transform(v, lambda x: F.lit(0).cast("long"))
+                ).otherwise(raw_q)
+    clamp = F.transform(
+        qs, lambda x: F.greatest(F.least(x, F.lit(QUANT_LEVELS)),
+                                 F.lit(-QUANT_LEVELS)))
+    return e.select(
+        "vec_id",
+        F.floor(scale * SCALE_Q).cast("bigint").alias("scale_q"),
+        F.size(F.filter(qs, lambda x: F.abs(x) > QUANT_LEVELS))
+         .cast("bigint").alias("n_clipped"),
+        F.aggregate(clamp, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x).alias("sum_q2"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(vq) AS BIGINT) AS min_q,
+           CAST(MAX(vq) AS BIGINT) AS max_q,
+           CAST(SUM(vq) AS BIGINT) AS sum_q,
+           CAST(SUM(vq3 * vq3) AS BIGINT) AS sumsq_q3
+    FROM (
+      SELECT t.i - 1 AS dim,
+             CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * {DIM_Q})
+               AS BIGINT) AS vq,
+             CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * {DIM_Q3})
+               AS BIGINT) AS vq3
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding)))
+                    AS i) t
+    )
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus moments over the embedding column — the inputs
+    to whitening / z-score standardization (``select/coreset.py`` consumes
+    exactly these as its standardize step, computed there in-batch):
+    count, min/max, sum (1e-6 quantization), and sum of squares (1e-3
+    quantization; int64-safe bound in the module docstring).
+
+    Scale: posexplode to (dim, quantized value) then ONE shuffle of
+    (dim, partial aggregates) — partial aggregation runs map-side, so
+    64 dims × n_partitions rows move, not n_rows × 64. The integer
+    quantization is what makes the merge exact in any order."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    vd = F.col("v").cast("double")
+    expl = (e.select(F.posexplode("embedding").alias("dim", "v"))
+            .select("dim",
+                    F.floor(vd * DIM_Q).cast("bigint").alias("vq"),
+                    F.floor(vd * DIM_Q3).cast("bigint").alias("vq3")))
+    return (expl.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("vq").alias("min_q"),
+                 F.max("vq").alias("max_q"),
+                 F.sum("vq").cast("bigint").alias("sum_q"),
+                 F.sum(F.col("vq3") * F.col("vq3")).cast("bigint")
+                  .alias("sumsq_q3"))
+            .select("dim", "n", "min_q", "max_q", "sum_q", "sumsq_q3"))
