@@ -17,7 +17,8 @@ from . import relational  # noqa: F401
 from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
-             "pipelineops", "streamops", "curation", "quality", "analytics"):
+             "pipelineops", "streamops", "curation", "quality", "analytics",
+             "embedvec"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover - partial checkout
@@ -36,17 +37,22 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows on record.
 _DRIVER_ORDER = [
-    # --- r01-green basics, back in-window after r02 rotation (31)
-    "rollup_agg", "cube_agg", "grouping_sets_agg",
+    # --- r01-green basics, back in-window after r02 rotation (24; seven
+    #     displaced below by the round-3 additions — each displaced entry
+    #     keeps an in-window family representative: rollup_agg for the
+    #     multi-grouping trio, pred_like for NOT-LIKE, pred_range_ops for
+    #     BETWEEN, union_distinct_keys for INTERSECT/EXCEPT,
+    #     case_when_bucket_agg for the datetime-bucketing pair)
+    "rollup_agg",
     "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "broadcast_join_count", "nested_loop_theta_count",
     "self_join_count", "min_projection_job_style",
-    "pred_eq_neq", "pred_range_ops", "pred_like", "pred_not_like",
-    "pred_in", "pred_between", "pred_or", "pred_null_checks",
+    "pred_eq_neq", "pred_range_ops", "pred_like",
+    "pred_in", "pred_or", "pred_null_checks",
     "pred_ts_literal", "pred_epoch_int",
     "count_min_multi_agg", "groupby_having", "distinct_count",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
-    "intersect_except_keys", "case_when_bucket_agg", "date_trunc_monthly",
+    "case_when_bucket_agg",
     # --- r02 non-green: multimodal now exact-oracled (3)
     "multimodal_feature_extract", "multimodal_resize_grid",
     "multimodal_frame_sample",
@@ -65,9 +71,17 @@ _DRIVER_ORDER = [
     "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
     "quality_token_freq_score", "dedup_embedding_clusters",
     "cross_source_overlap", "stats_length_percentiles",
+    # --- round-3 additions: embedding-column preprocessing (3)
+    "embedding_quantize_int8", "embedding_dim_stats", "embedding_gram_upper",
+    # --- round-3 additions: mixture sampling / histogram stats / volume
+    #     anomaly monitoring (3)
+    "sample_weighted_mix", "stats_histogram_equiwidth",
+    "events_anomaly_days",
     # ---------------- driver window boundary (50) ----------------
-    # --- r01-green basic displaced by the additions above (1)
-    "datetime_parts_agg",
+    # --- r01-green basics displaced by the additions above (7)
+    "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
+    "pred_not_like", "pred_between", "intersect_except_keys",
+    "date_trunc_monthly",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

@@ -134,3 +134,64 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int")
     return (act.groupBy("cohort_week", week_offset.alias("week_offset"))
             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+#: anomaly threshold: flag a day whose count sits more than Z sigma from
+#: its event-type's mean daily count (population variance)
+ANOMALY_Z = 3
+#: int64 headroom note: the comparison below squares ``n_days*cnt - sum``;
+#: with a year of days (n=365) it stays exact in BIGINT while daily counts
+#: are < ~8e6. Past that, cast both comparison sides to DECIMAL(38,0) —
+#: the daily-count layer itself never overflows.
+
+
+@register(
+    "events_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, day
+    ), moments AS (
+      SELECT event_type,
+             COUNT(*) AS n_days, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.cnt AS BIGINT) AS cnt,
+           (m.n_days * d.cnt - m.s) * (m.n_days * d.cnt - m.s)
+             > {ANOMALY_Z * ANOMALY_Z} * m.n_days
+               * (m.n_days * m.ss - m.s * m.s) AS is_anomaly
+    FROM daily d JOIN moments m USING (event_type)
+    """,
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type: a day is anomalous when
+    its count deviates from the type's mean daily count by more than
+    ``ANOMALY_Z`` population standard deviations — the ingest-monitoring
+    check a data platform runs over its own telemetry (a stalled source
+    or a crawler loop shows up as a volume spike/crater long before
+    content-level checks fire).
+
+    The z-test is evaluated WITHOUT floats: ``|cnt - s/n| > z*sigma``
+    is multiplied through by ``n^2`` to the all-integer form
+    ``(n*cnt - s)^2 > z^2 * n * (n*ss - s^2)`` — exact in both engines,
+    so the boolean hash-matches (a float sigma would be 1-ulp fragile).
+
+    Scale: raw events collapse to (type, day) partial counts map-side —
+    ONE shuffle of tiny aggregates; the moments table is per-type scalars
+    joined back onto the daily layer (broadcast-sized by construction:
+    one row per event type)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    moments = (daily.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_days"),
+                    F.sum("cnt").alias("s"),
+                    F.sum(F.col("cnt") * F.col("cnt")).alias("ss")))
+    n, s, ss, cnt = (F.col(c) for c in ("n_days", "s", "ss", "cnt"))
+    dev = n * cnt - s
+    return (daily.join(F.broadcast(moments), "event_type")
+            .select("event_type", "day", cnt.alias("cnt"),
+                    (dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * n
+                     * (n * ss - s * s)).alias("is_anomaly")))

@@ -183,3 +183,76 @@ def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= LANG_SAMPLE_CAP)
             .select("doc_id", "lang"))
+
+
+#: target mixture weights by source tier: sources src0-src4 are "high
+#: quality" (weight 4), src5-src9 mid (2), the rest tail (1); the CASE on
+#: the numeric suffix stands in for a curated domain->weight table
+MIX_W_HIGH, MIX_W_MID, MIX_W_TAIL = 4, 2, 1
+MIX_WSUM = 5 * MIX_W_HIGH + 5 * MIX_W_MID + 10 * MIX_W_TAIL
+#: keep-decision granularity (prime, ~1e6 slots)
+MIX_MOD = 999983
+
+_MIX_W_SQL = f"""CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                           AS INT) < 5 THEN {MIX_W_HIGH}
+                      WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                           AS INT) < 10 THEN {MIX_W_MID}
+                      ELSE {MIX_W_TAIL} END"""
+
+
+@register(
+    "sample_weighted_mix",
+    oracle=f"""
+    WITH wsrc AS (
+      SELECT source, COUNT(*) AS n_src, {_MIX_W_SQL} AS w
+      FROM documents GROUP BY source
+    ), feas AS (
+      SELECT MIN(n_src * {MIX_WSUM} // w) AS t_total FROM wsrc
+    ), rates AS (
+      SELECT source,
+             LEAST({MIX_MOD},
+                   (w * t_total // {MIX_WSUM}) * {MIX_MOD} // n_src)
+               AS keep_lt
+      FROM wsrc, feas
+    )
+    SELECT d.doc_id, d.source, CAST(r.keep_lt AS BIGINT) AS keep_lt
+    FROM documents d JOIN rates r USING (source)
+    WHERE (d.doc_id * {SAMPLE_MULT} + 7) % {MIX_MOD} < r.keep_lt
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: thin each source toward a target mixture
+    (weights by source tier) at the largest total size the corpus can
+    supply — the "data mixing" step every pretraining pipeline runs to
+    hit a target domain composition (e.g. up-weighting curated sources
+    against crawl tail).
+
+    The feasible total is ``min_s(n_s * W / w_s)`` (the binding source
+    runs out first); each source then keeps ``~(w_s*T/W)/n_s`` of its
+    rows via a deterministic Lehmer-hash Bernoulli — reproducible across
+    engines/runs, unlike ``rand()`` sampling. All arithmetic is integer
+    (engine-exact); `div`/`//` keeps division in the integer domain.
+
+    Scale: per-source counts collapse map-side (one tiny shuffle); the
+    global feasibility scalar and per-source rates are broadcast-sized by
+    construction (one row per source); the keep decision is a map-only
+    filter over the corpus — no row bodies ever shuffle."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    idx = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    w = (F.when(idx < 5, MIX_W_HIGH).when(idx < 10, MIX_W_MID)
+         .otherwise(MIX_W_TAIL))
+    wsrc = (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_src"))
+            .withColumn("w", w))
+    feas = wsrc.select(
+        F.min(F.expr(f"n_src * {MIX_WSUM} div w")).alias("t_total"))
+    rates = (wsrc.crossJoin(F.broadcast(feas))
+             .select("source", F.least(
+                 F.lit(MIX_MOD),
+                 F.expr(f"(w * t_total div {MIX_WSUM}) * {MIX_MOD}"
+                        " div n_src")).alias("keep_lt")))
+    return (d.join(F.broadcast(rates), "source")
+            .filter((F.col("doc_id") * SAMPLE_MULT + 7) % MIX_MOD
+                    < F.col("keep_lt"))
+            .select("doc_id", "source",
+                    F.col("keep_lt").cast("bigint").alias("keep_lt")))

@@ -129,3 +129,59 @@ def stats_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
                  F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
                  F.percentile("n_chars", F.lit(0.99)).alias("p99_chars")))
+
+
+#: equi-width histogram bucket count (the optimizer-statistics default
+#: granularity; per-bucket selectivity resolution of ~6%)
+HIST_NB = 16
+
+
+@register(
+    "stats_histogram_equiwidth",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), bounds AS (
+      SELECT MIN(c) AS mn, MAX(c) AS mx FROM cents
+    )
+    SELECT LEAST({HIST_NB - 1},
+                 (c - mn) * {HIST_NB} // (mx - mn + 1)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c) AS lo_cents, MAX(c) AS hi_cents
+    FROM cents, bounds
+    GROUP BY bucket
+    """,
+)
+def stats_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram over ``orders.o_totalprice`` — the
+    optimizer-statistics shape the reference's range harvest feeds into
+    selectivity estimation, here materialized as (bucket, count, observed
+    lo/hi). Two passes: a scalar (min,max) aggregate, then a map-side
+    bucketed count.
+
+    The double price is fixed to integer cents first
+    (``floor(v*100 + 0.5)`` — double ``*`` is correctly rounded
+    identically in the JVM and DuckDB, floor is exact), and the bucket id
+    is pure integer arithmetic (``div``), so both engines bucket every
+    row identically — no float-boundary flapping.
+
+    Scale: pass 1 reads ONE pruned column and collapses to two scalars
+    map-side; pass 2 is a map-only bucket id + a {HIST_NB}-group
+    aggregate. The bounds frame is two scalars broadcast to every task —
+    at 100 TB this is the cheapest possible two-scan stats shape (and the
+    harvester's sketch path replaces pass 1's exact bounds with a sample
+    when even that scan is too dear)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"))
+    bounds = cents.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    return (cents.crossJoin(F.broadcast(bounds))
+            .select(F.least(
+                F.lit(HIST_NB - 1),
+                F.expr(f"(c - mn) * {HIST_NB} div (mx - mn + 1)"))
+                .alias("bucket"), "c")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("c").alias("lo_cents"),
+                 F.max("c").alias("hi_cents")))

@@ -22,6 +22,11 @@ NESTED_LOOP_BY_DESIGN = {
     "ann_cosine_topk",            # broadcast query set × corpus exact scan
     "knn_label_vote",             # composes ann_cosine_topk's exact scan
     "range_join_value_bands",     # broadcast interval join (small bands)
+    # single-ROW broadcast scalar frames (a global aggregate joined onto
+    # every row) — the BroadcastNestedLoopJoin is 1 row × n, i.e. the
+    # cheapest possible way to ship a global scalar to every task
+    "sample_weighted_mix",        # global feasible-total scalar
+    "stats_histogram_equiwidth",  # global (min,max) bounds scalar
 }
 
 
