@@ -47,7 +47,7 @@ _DRIVER_ORDER = [
     "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "broadcast_join_count", "nested_loop_theta_count",
     "self_join_count", "min_projection_job_style",
-    "pred_eq_neq", "pred_range_ops", "pred_like",
+    "pred_range_ops", "pred_like",
     "pred_in", "pred_or", "pred_null_checks",
     "pred_ts_literal", "pred_epoch_int",
     "count_min_multi_agg", "groupby_having", "distinct_count",
@@ -71,17 +71,21 @@ _DRIVER_ORDER = [
     "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
     "quality_token_freq_score", "dedup_embedding_clusters",
     "cross_source_overlap", "stats_length_percentiles",
-    # --- round-3 additions: embedding-column preprocessing (3)
+    # --- round-3 additions: embedding-column preprocessing (4; PCA is
+    #     rows-only — eigendecomposition has no SQL analog)
     "embedding_quantize_int8", "embedding_dim_stats", "embedding_gram_upper",
+    "embedding_pca_project",
     # --- round-3 additions: mixture sampling / histogram stats / volume
     #     anomaly monitoring (3)
     "sample_weighted_mix", "stats_histogram_equiwidth",
     "events_anomaly_days",
     # ---------------- driver window boundary (50) ----------------
-    # --- r01-green basics displaced by the additions above (7)
+    # --- r01-green basics displaced by the additions above (8;
+    #     pred_eq_neq's equality predicates are exercised by every
+    #     equi-join entry still in-window)
     "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
     "pred_not_like", "pred_between", "intersect_except_keys",
-    "date_trunc_monthly",
+    "date_trunc_monthly", "pred_eq_neq",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

@@ -1,10 +1,13 @@
-"""Embedding-column preprocessing operators: int8 scalar quantization and
-per-dimension corpus moments — the two steps a vector pipeline runs between
-embedding generation and index build (quantize for memory/IO, dimension
-stats for whitening/standardization).
+"""Embedding-column preprocessing operators: int8 scalar quantization,
+per-dimension corpus moments, the corpus Gram matrix, and PCA projection —
+the chain a vector pipeline runs between embedding generation and index
+build (quantize for memory/IO; moments + Gram feed whitening/PCA; the
+projection is the reduced representation that gets indexed).
 
-Both are pure JVM higher-order-function expressions over the
-``array<float>`` column (no UDFs) with exact DuckDB oracles. The float→
+The quantize/moments pair are pure JVM higher-order-function expressions
+over the ``array<float>`` column (no UDFs); Gram and projection are one
+Arrow matmul per batch (the justified-vectorized class). All but the
+projection carry exact DuckDB oracles. The float→
 integer quantizations are engine-portable by construction: every float32
 widens exactly to double, double ``*`` and ``/`` are correctly rounded
 identically in the JVM and DuckDB, and ``floor`` is exact — so the
@@ -207,3 +210,85 @@ def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_partials, "dim_i bigint, dim_j bigint, partial bigint")
     return (partials.groupBy("dim_i", "dim_j")
             .agg(F.sum("partial").cast("bigint").alias("gram_q")))
+
+
+#: principal components kept by the PCA projection
+PCA_K = 8
+#: projected coordinates are surfaced quantized (×1e3, floor) — scalar,
+#: driver-hashable, and insensitive to sub-milli float noise
+PCA_OUT_Q = 1_000
+
+
+def pca_components(spark: SparkSession, sf_dir: str, k: int = PCA_K):
+    """Fit step: top-``k`` principal axes of the embedding corpus from the
+    distributed quantized moments (``embedding_gram_upper`` +
+    ``embedding_dim_stats``), eigendecomposed on the driver.
+
+    The covariance is assembled from EXACT integer aggregates — d(d+1)/2
+    Gram entries and d sums, a bounded ``collect`` of ~2k scalars for
+    d=64 — so the matrix handed to ``eigh`` is identical no matter how
+    the cluster partitioned the corpus, and the fit is deterministic
+    end-to-end. Sign ambiguity (an eigenvector and its negation are both
+    valid) is canonicalized: the largest-|component| entry is made
+    positive. Returns ``(mean, components)`` as float64 arrays
+    ``(d,)``/``(k, d)``."""
+    import numpy as np
+
+    gram = {(r["dim_i"], r["dim_j"]): r["gram_q"]
+            for r in embedding_gram_upper(spark, sf_dir).collect()}
+    stats = embedding_dim_stats(spark, sf_dir).collect()
+    d = len(stats)
+    n = stats[0]["n"]
+    mean = np.zeros(d)
+    for r in stats:
+        mean[r["dim"]] = (r["sum_q"] / DIM_Q) / n
+    g = np.zeros((d, d))
+    for (i, j), v in gram.items():
+        g[i, j] = g[j, i] = v / (DIM_Q3 * DIM_Q3)
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    comp = vecs[:, ::-1][:, :k].T             # (k, d), top-variance first
+    for row in comp:                          # fix sign per component
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    return mean, comp
+
+
+@register("embedding_pca_project")  # rows-only: eigendecomposition has no
+# SQL analog; exactness is pinned by the numpy-replica + invariant tests
+# in tests/test_datapipe.py (same class as coreset_select_embeddings)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform step: project every embedding onto the corpus' top
+    ``PCA_K`` principal axes — the dimensionality-reduction / whitening
+    pass a vector pipeline runs before indexing or clustering, and the
+    consumer the quantize/dim-stats/Gram trio above exists to feed.
+
+    Spark shape: the fit is driver-side linear algebra on bounded
+    aggregates (NOT an iterative Spark job — d×d eigendecomposition is
+    microseconds); the (k, d) component matrix rides to executors inside
+    the Arrow-UDF closure (KB-sized, the `model/infer.py` broadcast
+    pattern) and the transform is ONE matmul per Arrow batch, map-only,
+    no shuffle. Per-row results are independent dot products, so the
+    output is partitioning-invariant; coordinates are floor-quantized to
+    ints for a stable driver hash."""
+    import numpy as np
+    import pandas as pd
+
+    mean, comp = pca_components(spark, sf_dir)
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (v - mean) @ comp.T                      # (rows, k)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for c in range(comp.shape[0]):
+                out[f"pc{c}_q"] = np.floor(
+                    p[:, c] * PCA_OUT_Q).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    schema = ("vec_id bigint, "
+              + ", ".join(f"pc{c}_q bigint" for c in range(PCA_K)))
+    return e.select("vec_id", "embedding").mapInPandas(project, schema)

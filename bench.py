@@ -52,6 +52,13 @@ HEADLINE = [
     "knn_label_vote",
     "quality_token_freq_score",
     "cross_source_overlap",
+    # embedding preprocessing / mixing / monitoring (round 3)
+    "embedding_dim_stats",
+    "embedding_gram_upper",
+    "embedding_pca_project",
+    "sample_weighted_mix",
+    "stats_histogram_equiwidth",
+    "events_anomaly_days",
     # optimizer-pipeline + streaming shapes
     "plan_selection_argmin",
     "spearman_rank_corr",

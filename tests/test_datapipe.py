@@ -234,3 +234,52 @@ def test_fingerprint_lanes_identical_survivors(spark):
     # twin seeds must actually give two independent lanes
     one = fingerprint_survivors(d, "content").limit(5).collect()
     assert any(r["fp_a"] != r["fp_b"] for r in one)
+
+
+def test_pca_project_matches_numpy_replica(spark):
+    """The distributed PCA (quantized-moments fit + Arrow-batch transform)
+    must agree with a single-machine numpy PCA run on the same quantized
+    covariance — same components, same projected coordinates — and the
+    components must satisfy the PCA invariants (orthonormal axes,
+    descending captured variance)."""
+    import numpy as np
+
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.operators.embedvec import (
+        DIM_Q, DIM_Q3, PCA_K, PCA_OUT_Q, pca_components)
+
+    mean, comp = pca_components(spark, SF_SMALL)
+    # invariants: orthonormal rows, descending variance along components
+    assert comp.shape[0] == PCA_K
+    assert np.allclose(comp @ comp.T, np.eye(PCA_K), atol=1e-9)
+
+    v = np.stack(load_table(spark, SF_SMALL, "embeddings")
+                 .orderBy("vec_id").toPandas()["embedding"].to_numpy()
+                 ).astype(np.float64)
+    proj_var = ((v - mean) @ comp.T).var(axis=0)
+    assert all(proj_var[i] >= proj_var[i + 1] - 1e-12
+               for i in range(PCA_K - 1))
+
+    # replica fit: same quantization, plain numpy covariance + eigh
+    vq6 = np.floor(v * DIM_Q) / DIM_Q
+    vq3 = np.floor(v * DIM_Q3) / DIM_Q3
+    n = len(v)
+    mean_r = vq6.mean(axis=0)
+    cov_r = (vq3.T @ vq3) / n - np.outer(mean_r, mean_r)
+    vals, vecs = np.linalg.eigh(cov_r)
+    comp_r = vecs[:, ::-1][:, :PCA_K].T
+    for row in comp_r:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    assert np.allclose(mean, mean_r, atol=1e-12)
+    assert np.allclose(comp, comp_r, atol=1e-9)
+
+    # distributed transform == local transform, after output quantization
+    got = {r["vec_id"]: tuple(r[f"pc{c}_q"] for c in range(PCA_K))
+           for r in QUERIES["embedding_pca_project"](spark, SF_SMALL)
+           .collect()}
+    ids = load_table(spark, SF_SMALL, "embeddings").orderBy("vec_id") \
+        .toPandas()["vec_id"].to_numpy()
+    local = np.floor(((v - mean) @ comp.T) * PCA_OUT_Q).astype(np.int64)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == tuple(local[i]), f"vec {vid} diverges"
