@@ -27,7 +27,8 @@ def write_curated(df: DataFrame, path: str,
                   partition_by: tuple[str, ...] = ("split", "lang"),
                   max_records_per_file: int = 100_000,
                   files_per_partition: int = 1,
-                  salt_col: str | Column | None = None) -> None:
+                  salt_col: str | Column | None = None,
+                  format: str = "parquet") -> None:
     """Write ``df`` partitioned by ``partition_by`` with bounded files.
 
     With ``files_per_partition == 1`` each partition directory is written
@@ -37,6 +38,8 @@ def write_curated(df: DataFrame, path: str,
     deterministically fans each directory out to k writers — NOT
     ``rand()``, which would re-deal rows on task retries and corrupt
     exactly-once file commits."""
+    if format not in _FORMATS:
+        raise ValueError(f"unsupported curated format: {format!r}")
     keys: list[Column] = [F.col(c) for c in partition_by]
     if files_per_partition > 1:
         if salt_col is None:
@@ -50,10 +53,27 @@ def write_curated(df: DataFrame, path: str,
        .write.mode("overwrite")
        .option("maxRecordsPerFile", max_records_per_file)
        .partitionBy(*partition_by)
-       .parquet(path))
+       .format(format).save(path))
 
 
-def read_curated(spark: SparkSession, path: str) -> DataFrame:
+#: interchange formats the sink speaks. All three are Spark built-ins:
+#: parquet is the training-read default; ORC serves warehouse consumers
+#: (same columnar pruning + PartitionFilters); JSONL is the interchange/
+#: inspection form (schema-on-read — pass the schema back explicitly,
+#: JSON cannot carry it)
+_FORMATS = ("parquet", "orc", "json")
+
+
+def read_curated(spark: SparkSession, path: str, format: str = "parquet",
+                 schema=None) -> DataFrame:
     """Read a curated corpus; partition columns come back as columns and
-    filters on them prune directories (``PartitionFilters`` in the scan)."""
-    return spark.read.parquet(path)
+    filters on them prune directories (``PartitionFilters`` in the scan —
+    parquet and ORC alike). For JSONL pass the write-side ``schema`` so
+    types survive the round-trip (JSON infers BIGINT/DOUBLE only and an
+    inference pass over 100 TB is itself a full scan)."""
+    if format not in _FORMATS:
+        raise ValueError(f"unsupported curated format: {format!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(format).load(path)

@@ -80,3 +80,51 @@ def test_curated_sink_round_trip_prunes_partitions(spark, tmp_path):
         files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
         assert 1 <= len(files) <= 2, (d, files)
     assert read_curated(spark, out2).count() == cur.count()
+
+
+def test_curated_sink_orc_and_jsonl_round_trip(spark, tmp_path):
+    """The publish sink must speak the other two built-in interchange
+    formats: ORC keeps the partition-pruning contract parquet has; JSONL
+    round-trips exactly when the write-side schema is passed back (JSON
+    cannot carry types)."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.operators import QUERIES
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.sources.curated import (
+        read_curated, write_curated)
+
+    splits = QUERIES["split_assign_hash"](spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    cur = docs.join(splits.select("doc_id", "lang", "split"), "doc_id")
+    want = {r["doc_id"]: (r["split"], r["lang"], r["text"])
+            for r in cur.collect()}
+
+    # ORC: content + partition pruning
+    out_orc = str(tmp_path / "cur_orc")
+    write_curated(cur, out_orc, format="orc")
+    back = read_curated(spark, out_orc, format="orc")
+    got = {r["doc_id"]: (r["split"], r["lang"], r["text"])
+           for r in back.collect()}
+    assert got == want
+    plan = (back.filter(F.col("split") == "train")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "split" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+
+    # JSONL: exact round-trip under the explicit write-side schema
+    out_js = str(tmp_path / "cur_jsonl")
+    write_curated(cur, out_js, format="json")
+    back_js = read_curated(spark, out_js, format="json",
+                           schema=read_curated(spark, out_orc,
+                                               format="orc").schema)
+    got_js = {r["doc_id"]: (r["split"], r["lang"], r["text"])
+              for r in back_js.collect()}
+    assert got_js == want
+    assert dict(back_js.dtypes) == dict(cur.select(
+        "doc_id", "text", "lang", "split").dtypes)
+
+    # unsupported format fails loudly, not silently
+    import pytest
+    with pytest.raises(ValueError):
+        write_curated(cur, str(tmp_path / "x"), format="avro")

@@ -329,3 +329,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     got = {(r["click_id"], r["purchase_id"])
            for r in spark.sql(f"SELECT * FROM {sink}").collect()}
     assert got == expect
+
+
+def test_streaming_anomaly_monitor_matches_sequential_replay(spark, tmp_path):
+    """The online anomaly monitor (watermarked daily counts → foreachBatch
+    moment folding) must flag exactly what a sequential day-ordered replay
+    of the finalized daily counts flags — and only days past the watermark
+    are ever observed."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.streaming.monitor import (
+        AnomalyMonitor, daily_counts_stream, run_monitor_stream)
+
+    batch = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "ev_mon")
+    # one file -> one micro-batch: cross-batch day ordering is the
+    # monitor's per-batch sort, exercised deterministically
+    batch.repartition(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    q, monitor = run_monitor_stream(stream, str(tmp_path / "ck_mon"))
+    q.awaitTermination(120)
+
+    # sequential replica over the SAME finalized-day set: append mode
+    # emits a day only once the watermark (max event time here) passes
+    # its window end
+    from pyspark.sql import functions as F
+
+    daily = daily_counts_stream(batch).collect()
+    max_ts = batch.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    import datetime
+    finalized = [r for r in daily
+                 if r["day"] + datetime.timedelta(days=1) <= max_ts]
+    replica = AnomalyMonitor()
+    for r in sorted(finalized, key=lambda r: (r["day"], r["event_type"])):
+        replica.observe(r["event_type"], r["day"], r["cnt"])
+
+    assert monitor.flags, "monitor observed no finalized days"
+    assert monitor.flags == replica.flags
+    # warm-up respected: the first MIN_HISTORY_DAYS per type never flag
+    from active_query_optimizer_spark.streaming.monitor import \
+        MIN_HISTORY_DAYS
+    for etype in {t for t, _ in monitor.flags}:
+        days = sorted(d for t, d in monitor.flags if t == etype)
+        for d in days[:MIN_HISTORY_DAYS]:
+            assert monitor.flags[(etype, d)] is False
