@@ -50,7 +50,7 @@ _DRIVER_ORDER = [
     "pred_range_ops", "pred_like",
     "pred_in", "pred_or", "pred_null_checks",
     "pred_ts_literal", "pred_epoch_int",
-    "count_min_multi_agg", "groupby_having", "distinct_count",
+    "count_min_multi_agg", "groupby_having",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
     "case_when_bucket_agg",
     # --- r02 non-green: multimodal now exact-oracled (3)
@@ -76,16 +76,18 @@ _DRIVER_ORDER = [
     "embedding_quantize_int8", "embedding_dim_stats", "embedding_gram_upper",
     "embedding_pca_project",
     # --- round-3 additions: mixture sampling / histogram stats / volume
-    #     anomaly monitoring (3)
+    #     anomaly monitoring / IVF-PQ (4; the PQ entry is rows-only —
+    #     approximate, recall-pinned like ann_ivf/ann_lsh)
     "sample_weighted_mix", "stats_histogram_equiwidth",
-    "events_anomaly_days",
+    "events_anomaly_days", "ann_ivf_pq_topk",
     # ---------------- driver window boundary (50) ----------------
-    # --- r01-green basics displaced by the additions above (8;
+    # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
-    #     equi-join entry still in-window)
+    #     equi-join entry still in-window, distinct_count's by the
+    #     in-window count_distinct aggregations)
     "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
     "pred_not_like", "pred_between", "intersect_except_keys",
-    "date_trunc_monthly", "pred_eq_neq",
+    "date_trunc_monthly", "pred_eq_neq", "distinct_count",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

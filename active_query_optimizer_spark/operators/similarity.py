@@ -150,18 +150,13 @@ IVF_K = 16           # coarse-quantizer centroids
 IVF_NPROBE = 5       # probed cells per query
 
 
-@register("ann_ivf_topk")
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    (``pyspark.ml.clustering.KMeans``, seeded) assigns every vector to its
-    nearest of ``IVF_K`` centroids; a query scores exact cosine only inside
-    its ``IVF_NPROBE`` nearest cells. The classic FAISS-style scale shape:
-    the corpus is *partitioned by cell id* — probing is a semi-join on
-    cell id + per-cell exact re-rank, touching nprobe/k of the data.
-    Approximate → rows-only; recall vs ``ann_cosine_topk`` is pinned in
-    tests."""
+def _ivf_fit(spark: SparkSession, sf_dir: str):
+    """Shared IVF coarse-quantizer fit: L2-normalized corpus k-means
+    (seeded — deterministic) → per-vector cell assignment plus the
+    centroid list. Returns ``(assigned, centers)`` where ``assigned``
+    carries vec_id, embedding, nemb (normalized), cell."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
     # L2-normalize before clustering: k-means is Euclidean, and on the unit
@@ -178,31 +173,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nemb").cast("array<double>")))
     km = KMeans(k=IVF_K, seed=42, featuresCol="fv", predictionCol="cell")
     model = km.fit(ev)
-    assigned = model.transform(ev).select("vec_id", "embedding", "cell")
+    assigned = model.transform(ev).select("vec_id", "embedding", "nemb",
+                                          "cell")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
 
-    centers = model.clusterCenters()
-    b_centers = spark.sparkContext.broadcast(
-        [list(map(float, c)) for c in centers])
 
-    def _probe_cells(emb_col):
-        # nprobe nearest centroids by cosine, as a literal-array expression
-        import numpy as np
-        cents = np.array(b_centers.value)
-        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
-                                1e-12)
-        dots = [vec.dot(emb_col, F.array(*[F.lit(float(x)) for x in row]))
-                for row in cn]
-        arr = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i"))
-                        for i, d in enumerate(dots)])
-        top = F.slice(F.reverse(F.array_sort(arr)), 1, IVF_NPROBE)
-        return F.transform(top, lambda s: s["i"])
+def _probe_cells(emb_col, centers):
+    """nprobe nearest centroids by cosine, as a literal-array expression."""
+    cents = np.array(centers)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-12)
+    dots = [vec.dot(emb_col, F.array(*[F.lit(float(x)) for x in row]))
+            for row in cn]
+    arr = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dots)])
+    top = F.slice(F.reverse(F.array_sort(arr)), 1, IVF_NPROBE)
+    return F.transform(top, lambda s: s["i"])
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    (``pyspark.ml.clustering.KMeans``, seeded) assigns every vector to its
+    nearest of ``IVF_K`` centroids; a query scores exact cosine only inside
+    its ``IVF_NPROBE`` nearest cells. The classic FAISS-style scale shape:
+    the corpus is *partitioned by cell id* — probing is a semi-join on
+    cell id + per-cell exact re-rank, touching nprobe/k of the data.
+    Approximate → rows-only; recall vs ``ann_cosine_topk`` is pinned in
+    tests."""
+    assigned, centers = _ivf_fit(spark, sf_dir)
+    assigned = assigned.select("vec_id", "embedding", "cell")
 
     q = (load_table(spark, sf_dir, "embeddings")
          .filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qe")))
     qp = q.select("query_id", "qe",
-                  F.explode(_probe_cells(F.col("qe"))).alias("cell"))
+                  F.explode(_probe_cells(F.col("qe"), centers))
+                  .alias("cell"))
     cand = (
         qp.join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -271,3 +280,166 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = e.select(F.col("vec_id").alias("query_id"),
                      F.col("label").alias("true_label"))
     return best.join(truth, "query_id")
+
+
+PQ_M = 8            # product-quantizer subspaces (64/8 = 8 dims each)
+PQ_KS = 16          # codes per subspace (4-bit codes)
+PQ_TRAIN_MOD = 3    # deterministic training-sample thinning (vec_id % MOD)
+PQ_ITERS = 12       # Lloyd iterations per subspace
+PQ_RERANK = 100     # ADC shortlist size re-ranked with exact cosine —
+#                     sized so PQ recall tracks plain IVF (4-bit codes on
+#                     near-uniform sphere data rank coarsely; the exact
+#                     re-rank is cheap relative to the probe join, so a
+#                     generous shortlist buys recall at ~zero cost)
+
+
+def _pq_train(sample: "np.ndarray") -> "np.ndarray":
+    """Deterministic per-subspace Lloyd k-means on residual samples:
+    init = evenly spaced points of the vec_id-sorted sample (no RNG), a
+    fixed iteration count, empty clusters re-seeded from the farthest
+    point. Returns codebooks of shape (PQ_M, PQ_KS, sub_dim)."""
+    n, d = sample.shape
+    sub = d // PQ_M
+    books = np.empty((PQ_M, PQ_KS, sub))
+    for m in range(PQ_M):
+        x = sample[:, m * sub:(m + 1) * sub]
+        cb = x[np.linspace(0, n - 1, PQ_KS).astype(int)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            code = d2.argmin(1)
+            for kk in range(PQ_KS):
+                mask = code == kk
+                if mask.any():
+                    cb[kk] = x[mask].mean(0)
+                else:  # re-seed a dead centroid at the worst-served point
+                    cb[kk] = x[d2.min(1).argmax()]
+        books[m] = cb
+    return books
+
+
+@register("ann_ivf_pq_topk")  # rows-only: approximate (quantized scores);
+# recall vs the exact oracle is pinned in tests, like ann_ivf/ann_lsh
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-bound 100 TB shape: the IVF
+    coarse quantizer routes queries to ``IVF_NPROBE`` cells, but instead
+    of exact per-cell scoring the corpus is stored as ``PQ_M`` 4-bit
+    codes of the *residual* (vector − cell centroid); candidates are
+    scored by asymmetric distance (one ``PQ_M × PQ_KS`` lookup table per
+    query, built once driver-side) and only the top ``PQ_RERANK`` ADC
+    hits are re-ranked with exact cosine. 64 floats/vector become
+    ``PQ_M`` nibbles + a cell id — a ~60× index-size cut, which is what
+    lets a 100 TB corpus' index stay in cluster memory.
+
+    Spark shape: encode = ONE Arrow batch per partition (argmin matmul
+    against broadcast codebooks, map-only); search = semi-join on cell id
+    + an Arrow table-lookup gather per batch; the only shuffles are the
+    candidate join and the two tiny top-k windows. Training is
+    driver-side Lloyd on a deterministic ``vec_id % {mod}``-thinned
+    residual sample (bounded collect; at real scale swap in a capped
+    date/hash-sampled training set — the fit cost is independent of
+    corpus size either way).""".format(mod=PQ_TRAIN_MOD)
+    assigned, centers = _ivf_fit(spark, sf_dir)
+    cents = np.array(centers)
+
+    # --- train: residual sample, sorted for determinism
+    samp = (assigned.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+            .select("vec_id", "nemb", "cell").collect())
+    samp.sort(key=lambda r: r["vec_id"])
+    res = np.stack([np.asarray(r["nemb"]) - cents[r["cell"]] for r in samp])
+    books = _pq_train(res)
+    b_books = spark.sparkContext.broadcast(books)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    # --- encode the corpus: residual -> PQ_M argmin codes, map-only
+    sub = cents.shape[1] // PQ_M
+
+    def encode(batches):
+        cb, cc = b_books.value, b_cents.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["nemb"].to_numpy()).astype(np.float64)
+            r = v - cc[pdf["cell"].to_numpy()]
+            out = {"vec_id": pdf["vec_id"].to_numpy(),
+                   "cell": pdf["cell"].to_numpy()}
+            for m in range(PQ_M):
+                x = r[:, m * sub:(m + 1) * sub]
+                d2 = ((x[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                out[f"c{m}"] = d2.argmin(1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    code_schema = ("vec_id bigint, cell int, "
+                   + ", ".join(f"c{m} int" for m in range(PQ_M)))
+    codes = assigned.select("vec_id", "nemb", "cell").mapInPandas(
+        encode, code_schema)
+
+    # --- queries: normalized vectors + per-query ADC lookup tables,
+    # driver-built (N_QUERIES × PQ_M × PQ_KS floats — trivially bounded)
+    qrows = (load_table(spark, sf_dir, "embeddings")
+             .filter(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "embedding").collect())
+    qrows.sort(key=lambda r: r["vec_id"])
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in qrows])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = np.array([r["vec_id"] for r in qrows])
+    # lut[q, m, k] = q_sub · codebook[m][k]  (inner-product ADC);
+    # score(q, cand) = q·centroid[cell] + Σ_m lut[q, m, code_m]
+    lut = np.einsum("qmd,mkd->qmk",
+                    qmat.reshape(len(qids), PQ_M, sub), books)
+    qdotc = qmat @ cents.T
+    b_lut = spark.sparkContext.broadcast(
+        {int(q): (lut[i], qdotc[i]) for i, q in enumerate(qids)})
+
+    q = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    qp = q.select("query_id",
+                  F.explode(_probe_cells(F.col("qe"), centers))
+                  .alias("cell"))
+
+    cand = qp.join(codes, "cell").filter(
+        F.col("vec_id") != F.col("query_id"))
+
+    def adc(batches):
+        tables = b_lut.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qarr = pdf["query_id"].to_numpy()
+            codes_m = np.stack([pdf[f"c{m}"].to_numpy()
+                                for m in range(PQ_M)], axis=1)
+            score = np.empty(len(pdf))
+            for qv in np.unique(qarr):
+                l, dc = tables[int(qv)]
+                rows = qarr == qv
+                score[rows] = (dc[pdf["cell"].to_numpy()[rows]]
+                               + l[np.arange(PQ_M)[None, :],
+                                   codes_m[rows]].sum(1))
+            yield pd.DataFrame({"query_id": qarr,
+                                "neighbor_id": pdf["vec_id"].to_numpy(),
+                                "adc": score})
+
+    scored = cand.mapInPandas(
+        adc, "query_id bigint, neighbor_id bigint, adc double")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    shortlist = (scored.withColumn("r", F.row_number().over(w_adc))
+                 .filter(F.col("r") <= PQ_RERANK)
+                 .select("query_id", "neighbor_id"))
+
+    # --- exact re-rank of the ADC shortlist only
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (shortlist
+             .join(q, "query_id")
+             .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                              F.col("embedding").alias("ne")),
+                   "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     vec.cosine(F.col("qe"), F.col("ne")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (exact.select("query_id", "neighbor_id",
+                         F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= TOP_K))

@@ -283,3 +283,23 @@ def test_pca_project_matches_numpy_replica(spark):
     local = np.floor(((v - mean) @ comp.T) * PCA_OUT_Q).astype(np.int64)
     for i, vid in enumerate(ids):
         assert got[int(vid)] == tuple(local[i]), f"vec {vid} diverges"
+
+
+def test_ann_ivf_pq_recall_and_determinism(spark):
+    """IVF-PQ: 4-bit product-quantized residual codes + ADC shortlist +
+    exact re-rank. Recall vs exact top-k must hold at-or-near the plain
+    IVF bar (PQ only reorders *within* the probed cells, and the exact
+    re-rank of PQ_RERANK candidates absorbs quantization noise), and the
+    whole pipeline must be deterministic run-to-run (seeded k-means,
+    RNG-free codebook training, sorted collects)."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in QUERIES["ann_cosine_topk"](spark, SF_SMALL).collect()}
+    run1 = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in QUERIES["ann_ivf_pq_topk"](spark, SF_SMALL).collect()}
+    approx = {(q, n) for q, n, _ in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall}"
+
+    run2 = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in QUERIES["ann_ivf_pq_topk"](spark, SF_SMALL).collect()}
+    assert run1 == run2, "IVF-PQ is not deterministic across runs"
