@@ -45,11 +45,11 @@ _DRIVER_ORDER = [
     #     case_when_bucket_agg for the datetime-bucketing pair)
     "rollup_agg",
     "scan_filter_count", "projection_join", "hash_join_count",
-    "merge_join_count", "broadcast_join_count", "nested_loop_theta_count",
+    "merge_join_count", "nested_loop_theta_count",
     "self_join_count", "min_projection_job_style",
-    "pred_range_ops", "pred_like",
+    "pred_like",
     "pred_in", "pred_or", "pred_null_checks",
-    "pred_ts_literal", "pred_epoch_int",
+    "pred_epoch_int",
     "count_min_multi_agg", "groupby_having",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
     "case_when_bucket_agg",
@@ -80,6 +80,12 @@ _DRIVER_ORDER = [
     #     approximate, recall-pinned like ann_ivf/ann_lsh)
     "sample_weighted_mix", "stats_histogram_equiwidth",
     "events_anomaly_days", "ann_ivf_pq_topk",
+    # --- round-3 additions: classic decision-support shapes (3 — their
+    #     ts-literal/range/broadcast predicates also represent the
+    #     displaced pred_ts_literal / pred_range_ops /
+    #     broadcast_join_count basics)
+    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
+    "window_running_total",
     # ---------------- driver window boundary (50) ----------------
     # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
@@ -88,6 +94,7 @@ _DRIVER_ORDER = [
     "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
     "pred_not_like", "pred_between", "intersect_except_keys",
     "date_trunc_monthly", "pred_eq_neq", "distinct_count",
+    "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

@@ -1043,3 +1043,128 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# 8. Classic decision-support shapes (TPC-H Q3/Q5 analogs + running totals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+      SELECT l.l_orderkey AS l_orderkey, o.o_orderdate AS o_orderdate,
+             o.o_orderpriority AS o_orderpriority,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
+      FROM customer c, orders o, lineitem l
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ) ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority): segment-filtered
+    customer⋈orders⋈lineitem, revenue per unshipped order, top-10. The
+    decision-support shape the reference's learned ranker is trained on —
+    selective dimension filter, two big equi-joins, grouped decimal
+    aggregate, ordered LIMIT (TakeOrderedAndProject: per-partition top-k,
+    only k rows per partition reach the driver — no global sort at
+    100 TB). Revenue uses the ``_dec_sum`` decimal discipline; the LIMIT
+    carries a unique tie-break (l_orderkey) so both engines pick the same
+    rows."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                          "revenue", "decimal(24,8)"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+@register(
+    "tpch_q5_region_volume",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog (local supplier volume): six-table join where the
+    customer and supplier must share a nation — the join graph has a
+    CYCLE (c⋈o⋈l⋈s plus c.nation = s.nation), the shape that separates
+    join-order optimizers from greedy left-deep planners (and exactly
+    what the reference's candidate exploration varies). Fixed-size
+    nation/region broadcast; the c_nationkey = s_nationkey closure rides
+    the lineitem spine as a post-join filter, so no extra shuffle. One
+    dated year of orders, grouped decimal revenue per nation."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                          "revenue", "decimal(24,8)")))
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+             AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer in order-date order — the running-
+    total window frame (``rows unbounded preceding``), the one window
+    shape the registry lacked (top-k ranking windows are covered by
+    ``window_topk_per_group``). Decimal accumulation keeps every prefix
+    sum exact (scale-2 unscaled ints ≪ 2^53, so the final double cast is
+    exact in both engines — no ROUND step needed, unlike scale-8 sums);
+    the (o_orderdate, o_orderkey) window order is total, so every prefix
+    is engine-identical. The %10 customer slice keeps the driver-side
+    result bounded; the plan is ONE shuffle by o_custkey + an in-
+    partition sort — at 100 TB the window never sees a global sort."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("running_total"))

@@ -28,6 +28,9 @@ HEADLINE = [
     "sevenway_join_count",
     "self_join_count",
     "pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "window_running_total",
     "window_topk_per_group",
     "exchange_reuse_pairs",
     "min_projection_job_style",
