@@ -46,7 +46,7 @@ _DRIVER_ORDER = [
     "rollup_agg",
     "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "nested_loop_theta_count",
-    "self_join_count", "min_projection_job_style",
+    "self_join_count",
     "pred_like",
     "pred_in", "pred_or", "pred_null_checks",
     "pred_epoch_int",
@@ -86,6 +86,8 @@ _DRIVER_ORDER = [
     #     broadcast_join_count basics)
     "tpch_q3_shipping_priority", "tpch_q5_region_volume",
     "window_running_total",
+    # --- round-3 addition: exact join-cardinality ground truth (1)
+    "stats_join_size_exact",
     # ---------------- driver window boundary (50) ----------------
     # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
@@ -95,6 +97,7 @@ _DRIVER_ORDER = [
     "pred_not_like", "pred_between", "intersect_except_keys",
     "date_trunc_monthly", "pred_eq_neq", "distinct_count",
     "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
+    "min_projection_job_style",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

@@ -185,3 +185,60 @@ def stats_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("c").alias("lo_cents"),
                  F.max("c").alias("hi_cents")))
+
+
+@register(
+    "stats_join_size_exact",
+    oracle="""
+    WITH oc AS (SELECT o_custkey AS k, COUNT(*) AS n_o
+                FROM orders GROUP BY o_custkey),
+         cc AS (SELECT c_custkey AS k, COUNT(*) AS n_c
+                FROM customer GROUP BY c_custkey),
+         lc AS (SELECT l_orderkey AS k, COUNT(*) AS n_l
+                FROM lineitem GROUP BY l_orderkey),
+         ok AS (SELECT o_orderkey AS k, COUNT(*) AS n_ok
+                FROM orders GROUP BY o_orderkey)
+    SELECT 'orders_customer_custkey' AS join_name,
+           CAST(SUM(n_o * n_c) AS BIGINT) AS exact_rows
+    FROM oc JOIN cc USING (k)
+    UNION ALL
+    SELECT 'lineitem_orders_orderkey' AS join_name,
+           CAST(SUM(n_l * n_ok) AS BIGINT) AS exact_rows
+    FROM lc JOIN ok USING (k)
+    """,
+)
+def stats_join_size_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-join output cardinality WITHOUT executing the join:
+    ``|A ⋈_k B| = Σ_k n_A(k)·n_B(k)`` over the per-key histograms — the
+    ground-truth labeler for the cardinality estimates the reference's
+    learned ranker is trained to get right (its plan features carry the
+    optimizer's estimated rows; this op computes what the estimate
+    *should have been*).
+
+    Scale: each histogram is a map-side-combined count (only
+    (key, count) pairs shuffle — never the join payload), and the
+    histogram join is key-aligned. For a 100 TB fact⋈fact this is the
+    cheapest exact-cardinality plan that exists; the sketch path
+    (CountMin inner product) replaces it only when even the key set
+    doesn't fit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def hist(df, key):
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n"))
+
+    oc = (hist(o, "o_custkey").alias("a")
+          .join(hist(c, "c_custkey").alias("b"), "k")
+          .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("bigint")
+               .alias("exact_rows"))
+          .select(F.lit("orders_customer_custkey").alias("join_name"),
+                  "exact_rows"))
+    lo = (hist(li, "l_orderkey").alias("a")
+          .join(hist(o, "o_orderkey").alias("b"), "k")
+          .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("bigint")
+               .alias("exact_rows"))
+          .select(F.lit("lineitem_orders_orderkey").alias("join_name"),
+                  "exact_rows"))
+    return oc.unionAll(lo)

@@ -231,3 +231,21 @@ def test_percentile_sketch_anchored_to_exact(spark):
     for k in exact:
         assert abs(sketch[k] - exact[k]) <= 0.05 * max(exact[k], 1.0), (
             k, sketch[k], exact[k])
+
+
+def test_join_size_exact_matches_executed_join(spark):
+    """The histogram-product cardinality must equal the row count of the
+    actually-executed join — the ground-truth contract that makes it a
+    valid labeler for cardinality-estimate training."""
+    from active_query_optimizer_spark.operators import QUERIES
+
+    got = {r["join_name"]: r["exact_rows"]
+           for r in QUERIES["stats_join_size_exact"](spark, SF_SMALL)
+           .collect()}
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    assert got["orders_customer_custkey"] == \
+        o.join(c, o.o_custkey == c.c_custkey).count()
+    assert got["lineitem_orders_orderkey"] == \
+        li.join(o, li.l_orderkey == o.o_orderkey).count()
