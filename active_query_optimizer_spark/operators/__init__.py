@@ -50,7 +50,7 @@ _DRIVER_ORDER = [
     "pred_like",
     "pred_in", "pred_or", "pred_null_checks",
     "pred_epoch_int",
-    "count_min_multi_agg", "groupby_having",
+    "count_min_multi_agg",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
     "case_when_bucket_agg",
     # --- r02 non-green: multimodal now exact-oracled (3)
@@ -86,8 +86,9 @@ _DRIVER_ORDER = [
     #     broadcast_join_count basics)
     "tpch_q3_shipping_priority", "tpch_q5_region_volume",
     "window_running_total",
-    # --- round-3 addition: exact join-cardinality ground truth (1)
-    "stats_join_size_exact",
+    # --- round-3 additions: join-cardinality ground truth, exact +
+    #     CountMin-sketch estimate (2)
+    "stats_join_size_exact", "stats_join_size_cm_sketch",
     # ---------------- driver window boundary (50) ----------------
     # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
@@ -97,7 +98,7 @@ _DRIVER_ORDER = [
     "pred_not_like", "pred_between", "intersect_except_keys",
     "date_trunc_monthly", "pred_eq_neq", "distinct_count",
     "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
-    "min_projection_job_style",
+    "min_projection_job_style", "groupby_having",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

@@ -242,3 +242,80 @@ def stats_join_size_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("lineitem_orders_orderkey").alias("join_name"),
                   "exact_rows"))
     return oc.unionAll(lo)
+
+
+#: CountMin sketch geometry: D independent hash rows × W counters.
+#: W=8192 keeps the expected collision inflation (~|A|·|B|/W) well under
+#: the true size at bench SFs; at 100 TB you grow W, not the algorithm.
+CM_D = 3
+CM_W = 8192
+#: Lehmer-family row hashes h_i(k) = ((k*A_i + B_i) mod P) mod W —
+#: engine-portable integer arithmetic (P Mersenne-prime; k·A_i ≪ 2^63
+#: for keys < ~1e13, documented overflow headroom like the split hash)
+CM_P = 2147483647
+CM_A = (48271, 16807, 69621)
+CM_B = (11, 17, 23)
+
+
+def _cm_bucket_sql(key: str, i: int) -> str:
+    return (f"(({key} * {CM_A[i]} + {CM_B[i]}) % {CM_P}) % {CM_W}")
+
+
+@register(
+    "stats_join_size_cm_sketch",
+    oracle=f"""
+    WITH a AS (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS i, {_cm_bucket_sql('o_custkey', i)} AS j,"
+          f" COUNT(*) AS n FROM orders GROUP BY i, j"
+          for i in range(CM_D))}
+    ), b AS (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS i, {_cm_bucket_sql('c_custkey', i)} AS j,"
+          f" COUNT(*) AS n FROM customer GROUP BY i, j"
+          for i in range(CM_D))}
+    ), dots AS (
+      SELECT a.i, SUM(a.n * b.n) AS dot
+      FROM a JOIN b ON a.i = b.i AND a.j = b.j
+      GROUP BY a.i
+    )
+    SELECT 'orders_customer_custkey' AS join_name,
+           CAST(MIN(dot) AS BIGINT) AS est_rows
+    FROM dots
+    """,
+)
+def stats_join_size_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin-sketch estimate of equi-join output cardinality: each side
+    collapses to a D×W counter sketch (one grouped count per hash row —
+    the per-row work is integer hashing, the shuffle is at most D·W
+    counters per side REGARDLESS of table size), and the join size is the
+    minimum over rows of the sketch inner product — the AMS/CM estimate
+    with the one-sided guarantee ``est ≥ exact`` (collisions only ever
+    ADD). This is the sketch path `stats_join_size_exact`'s docstring
+    reserves for when even the per-key histogram is too large; fixed
+    seeds make it deterministic, so it carries a full value-hash oracle
+    rather than a rows-only row.
+
+    Scale: sketch size is a CONSTANT (D·W counters) — the two sides never
+    meet on keys at all; the cross-sketch join moves ≤ D·W rows. The test
+    pins ``exact ≤ est ≤ exact·(1+slack)`` against the executed join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def sketch(df, key):
+        parts = [df.select(F.lit(i).alias("i"),
+                           F.expr(_cm_bucket_sql(key, i)).alias("j"))
+                 for i in range(CM_D)]
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionAll(p)
+        return un.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sketch(o, "o_custkey").alias("a")
+    b = sketch(c, "c_custkey").alias("b")
+    dots = (a.join(b, ["i", "j"])
+            .groupBy("i")
+            .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot")))
+    return dots.agg(
+        F.lit("orders_customer_custkey").alias("join_name"),
+        F.min("dot").cast("bigint").alias("est_rows"))

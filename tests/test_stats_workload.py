@@ -249,3 +249,22 @@ def test_join_size_exact_matches_executed_join(spark):
         o.join(c, o.o_custkey == c.c_custkey).count()
     assert got["lineitem_orders_orderkey"] == \
         li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
+def test_join_size_cm_sketch_bounds_exact(spark):
+    """CountMin inner-product estimate: never below the exact join size
+    (collisions only add), and within the expected collision inflation
+    at this scale (~|A|·|B|/W extra)."""
+    from active_query_optimizer_spark.operators import QUERIES
+    from active_query_optimizer_spark.operators.statsops import CM_W
+
+    exact = {r["join_name"]: r["exact_rows"]
+             for r in QUERIES["stats_join_size_exact"](spark, SF_SMALL)
+             .collect()}["orders_customer_custkey"]
+    est = QUERIES["stats_join_size_cm_sketch"](spark, SF_SMALL) \
+        .collect()[0]["est_rows"]
+    assert est >= exact, "CM sketch underestimated — impossible by design"
+    o = load_table(spark, SF_SMALL, "orders").count()
+    c = load_table(spark, SF_SMALL, "customer").count()
+    slack = 8 * o * c / CM_W        # 8x the expected collision mass
+    assert est <= exact + max(slack, 1), (est, exact, slack)
