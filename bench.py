@@ -62,6 +62,9 @@ HEADLINE = [
     "sample_weighted_mix",
     "stats_histogram_equiwidth",
     "events_anomaly_days",
+    # optimizer-stats / join-optimization shapes (round 3)
+    "stats_join_size_exact",
+    "join_bloom_prefilter_count",
     # optimizer-pipeline + streaming shapes
     "plan_selection_argmin",
     "spearman_rank_corr",

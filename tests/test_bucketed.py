@@ -128,3 +128,57 @@ def test_curated_sink_orc_and_jsonl_round_trip(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         write_curated(cur, str(tmp_path / "x"), format="avro")
+
+
+def test_sorted_export_is_globally_ordered(spark, tmp_path):
+    """write_sorted: lexicographic file order must equal global key order
+    (every key in file i precedes every key in file i+1; rows inside each
+    file sorted), and the plan must range-partition, not single-task
+    sort."""
+    import glob
+
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.sources.maintenance import write_sorted
+
+    o = load_table(spark, SF_SMALL, "orders")
+    out = str(tmp_path / "sorted")
+    write_sorted(o, out, ["o_totalprice", "o_orderkey"], num_files=4)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        if not len(pdf):
+            continue
+        total += len(pdf)
+        keys = list(zip(pdf["o_totalprice"], pdf["o_orderkey"]))
+        assert keys == sorted(keys), f"{f} not internally sorted"
+        if prev_max is not None:
+            assert keys[0] >= prev_max, "cross-file order violated"
+        prev_max = keys[-1]
+    assert total == o.count()
+
+
+def test_compact_dir_reduces_file_count(spark, tmp_path):
+    """compact_dir: a fragmented directory (many small files) compacts to
+    the byte-target count without losing or duplicating rows, via a
+    shuffle-free coalesce."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.sources.maintenance import compact_dir
+
+    o = load_table(spark, SF_SMALL, "orders")
+    frag = str(tmp_path / "frag")
+    o.repartition(16).write.mode("overwrite").parquet(frag)
+
+    out = str(tmp_path / "compacted")
+    n = compact_dir(spark, frag, out, target_file_bytes=10 * 1024 * 1024)
+    import glob
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n
+    assert n < 16
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    assert sorted(r["o_orderkey"] for r in back.collect()) == \
+        sorted(r["o_orderkey"] for r in o.collect())
