@@ -54,3 +54,22 @@ def compact_dir(spark: SparkSession, path: str, out_path: str,
     spark.read.parquet(path).coalesce(n).write.mode(
         "overwrite").parquet(out_path)
     return n
+
+
+def write_day_partitions(df: DataFrame, path: str,
+                         day_col: str = "day") -> None:
+    """Publish/refresh day partitions with DYNAMIC partition overwrite:
+    only the day directories present in ``df`` are replaced; every other
+    partition's files are untouched. This is the incremental-refresh
+    contract a daily pipeline needs — a plain ``overwrite`` would drop
+    the whole table, and ``append`` would duplicate reprocessed days.
+    (Conf is set per-write and restored; the static default stays safe
+    for other writers in the session.)"""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite").partitionBy(day_col).parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

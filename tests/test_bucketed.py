@@ -182,3 +182,45 @@ def test_compact_dir_reduces_file_count(spark, tmp_path):
     assert back.count() == o.count()
     assert sorted(r["o_orderkey"] for r in back.collect()) == \
         sorted(r["o_orderkey"] for r in o.collect())
+
+
+def test_dynamic_day_partition_overwrite(spark, tmp_path):
+    """write_day_partitions must replace ONLY the day partitions present
+    in the incoming frame: untouched days keep their exact files (same
+    paths, same bytes), reprocessed days are replaced not duplicated."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.sources.maintenance import \
+        write_day_partitions
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (ev.groupBy(F.to_date(F.col("ts").cast("timestamp"))
+                        .alias("day"), "event_type")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    days = sorted(r["day"] for r in daily.select("day").distinct()
+                  .collect())[:3]
+    base = daily.filter(F.col("day").isin(days))
+    out = str(tmp_path / "daily")
+    write_day_partitions(base, out)
+
+    def snapshot(day):
+        return {p: os.path.getsize(p)
+                for p in glob.glob(f"{out}/day={day}/*.parquet")}
+
+    untouched_before = snapshot(days[0])
+    # reprocess ONLY day[1] with changed content (doubled counts)
+    redo = (base.filter(F.col("day") == days[1])
+            .withColumn("cnt", F.col("cnt") * 2))
+    write_day_partitions(redo, out)
+
+    assert snapshot(days[0]) == untouched_before, "untouched day rewritten"
+    back = spark.read.parquet(out)
+    got = {(r["day"], r["event_type"]): r["cnt"] for r in back.collect()}
+    want = {(r["day"], r["event_type"]):
+            r["cnt"] * (2 if r["day"] == days[1] else 1)
+            for r in base.collect()}
+    assert got == want, "overwrite duplicated or lost rows"
