@@ -51,7 +51,6 @@ _DRIVER_ORDER = [
     "pred_epoch_int",
     "count_min_multi_agg",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
-    "case_when_bucket_agg",
     # --- r02 non-green: multimodal now exact-oracled (3)
     "multimodal_feature_extract", "multimodal_resize_grid",
     "multimodal_frame_sample",
@@ -90,6 +89,8 @@ _DRIVER_ORDER = [
     #     join (4)
     "stats_join_size_exact", "stats_join_size_cm_sketch",
     "stats_key_skew_profile", "join_bloom_prefilter_count",
+    # --- round-3 addition: wide-format pivot (1)
+    "events_pivot_daily",
     # ---------------- driver window boundary (50) ----------------
     # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
@@ -100,7 +101,7 @@ _DRIVER_ORDER = [
     "date_trunc_monthly", "pred_eq_neq", "distinct_count",
     "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
     "min_projection_job_style", "groupby_having", "pred_null_checks",
-    "pred_like",
+    "pred_like", "case_when_bucket_agg",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

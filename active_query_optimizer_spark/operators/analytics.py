@@ -195,3 +195,38 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "day", cnt.alias("cnt"),
                     (dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * n
                      * (n * ss - s * s)).alias("is_anomaly")))
+
+
+#: pivot column domain, pinned explicitly: an unpinned pivot triggers a
+#: full extra scan just to discover the columns, and a high-cardinality
+#: type column would explode the schema — the domain is a contract here
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_daily",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           {', '.join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS n_{t}" for t in PIVOT_EVENT_TYPES)}
+    FROM events GROUP BY day
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide-format event matrix — one row per day, one count column
+    per event type (the layout dashboards and drift monitors consume).
+    Uses ``groupBy().pivot(values=...)`` with the domain PINNED so Spark
+    skips the domain-discovery scan; the plan is a single partial+final
+    hash aggregate over (day) with per-type conditional counts — exactly
+    the CASE-WHEN conditional aggregation the oracle spells out, i.e.
+    pivot costs no more than a plain grouped count at any scale."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    out = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+           .pivot("event_type", list(PIVOT_EVENT_TYPES))
+           .agg(F.count(F.lit(1))))
+    # pivot null-fills types absent on a day; the count contract is 0
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                 for t in PIVOT_EVENT_TYPES])
