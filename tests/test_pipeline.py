@@ -136,3 +136,42 @@ def test_greedy_respects_labeled_matrix(spark):
     labeled = np.array([[1.0, 0.0]])
     sel = CS.greedy_k_center(df, labeled, k_per_bucket=1).collect()
     assert sel[0]["vec_id"] == 1
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """The composed curation pipeline: monotone survivor funnel, no
+    contaminated or duplicate content in the publish, valid split layout,
+    and the published table reads back partition-prunable."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.operators.curation import \
+        DECONTAM_BENCH_MOD
+    from active_query_optimizer_spark.functions import texttools as tt
+    from active_query_optimizer_spark.pipelines.curate import run_curation
+
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "published")
+    counts = run_curation(spark, SF_SMALL, out)
+
+    stages = ["ingested", "quality_repetition", "pii_clean",
+              "dedup_survivors", "decontaminated", "published"]
+    assert list(counts) == stages
+    vals = [counts[s] for s in stages]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+    assert vals[-1] > 0
+
+    back = spark.read.parquet(out)
+    assert back.count() == counts["published"]
+    # benchmark slice excluded; content fingerprints unique; splits valid
+    rows = back.select(
+        "doc_id", "split",
+        tt.content_fingerprint_hi(F.col("text")).alias("a"),
+        tt.content_fingerprint_lo(F.col("text")).alias("b")).collect()
+    assert all(r["doc_id"] % DECONTAM_BENCH_MOD != 0 for r in rows)
+    fps = [(r["a"], r["b"]) for r in rows]
+    assert len(fps) == len(set(fps)), "duplicate content published"
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    plan = (back.filter(F.col("split") == "train")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
