@@ -53,3 +53,28 @@ def correlate_event_streams(clicks: DataFrame, purchases: DataFrame,
             .select(F.col("c_user").alias("user_id"), "click_id",
                     "purchase_id", "click_ts", "purchase_ts",
                     "purchase_value"))
+
+
+def enrich_events_stream(events: DataFrame, user_dim: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-STATIC enrichment: tag each event with its user's dimension
+    attributes (here: the user's nation key through the customer table) —
+    the lookup-join every ingest pipeline runs. The static side needs no
+    watermark and holds NO stream state: Spark re-plans it per micro-batch
+    (picking up dim updates between batches) and broadcasts it when small
+    — at 100 TB/day of events the dim broadcast is what keeps the
+    enrichment map-only, with zero shuffle of the stream.
+
+    Dual-mode like every streaming op here: batch frames run the same
+    plan as a plain broadcast join (the tests' equivalence anchor)."""
+    from .windowed import ensure_event_time
+
+    ev = events
+    if ev.isStreaming:
+        ev = ensure_event_time(ev).withWatermark("ts", watermark)
+    dim = user_dim.select(F.col("c_custkey").alias("user_id"),
+                          F.col("c_nationkey").alias("user_nation"),
+                          F.col("c_mktsegment").alias("user_segment"))
+    return (ev.join(F.broadcast(dim), "user_id", "left")
+            .select("event_id", "user_id", "ts", "event_type",
+                    "user_nation", "user_segment"))

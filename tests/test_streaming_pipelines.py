@@ -373,3 +373,31 @@ def test_streaming_anomaly_monitor_matches_sequential_replay(spark, tmp_path):
         days = sorted(d for t, d in monitor.flags if t == etype)
         for d in days[:MIN_HISTORY_DAYS]:
             assert monitor.flags[(etype, d)] is False
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static enrichment join: streamed events enriched against the
+    static customer dim must produce exactly the batch join's rows, and
+    the static side must broadcast (no stream shuffle)."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.streaming.joins import \
+        enrich_events_stream
+
+    stream, batch = _start_events_stream(spark, str(tmp_path / "ev_enr"))
+    dim = load_table(spark, SF_SMALL, "customer")
+
+    q = (enrich_events_stream(stream, dim)
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_enr"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["event_id"], r["user_nation"], r["user_segment"])
+           for r in spark.sql("SELECT * FROM enriched").collect()}
+    exp_df = enrich_events_stream(batch, dim)
+    exp = {(r["event_id"], r["user_nation"], r["user_segment"])
+           for r in exp_df.collect()}
+    assert got == exp and got
+    plan = exp_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
