@@ -47,7 +47,7 @@ _DRIVER_ORDER = [
     "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "nested_loop_theta_count",
     "self_join_count",
-    "pred_in", "pred_or",
+    "pred_or",
     "pred_epoch_int",
     "count_min_multi_agg",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
@@ -89,8 +89,10 @@ _DRIVER_ORDER = [
     #     join (4)
     "stats_join_size_exact", "stats_join_size_cm_sketch",
     "stats_key_skew_profile", "join_bloom_prefilter_count",
-    # --- round-3 addition: wide-format pivot (1)
-    "events_pivot_daily",
+    # --- round-3 additions: wide-format pivot, gap-filled resample (2;
+    #     the displaced pred_in's IN-literal predicate is represented by
+    #     event_funnel_steps' isin stage filter, in-window)
+    "events_pivot_daily", "events_resample_hourly_gapfill",
     # ---------------- driver window boundary (50) ----------------
     # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
@@ -101,7 +103,7 @@ _DRIVER_ORDER = [
     "date_trunc_monthly", "pred_eq_neq", "distinct_count",
     "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
     "min_projection_job_style", "groupby_having", "pred_null_checks",
-    "pred_like", "case_when_bucket_agg",
+    "pred_like", "case_when_bucket_agg", "pred_in",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

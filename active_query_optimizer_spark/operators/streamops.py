@@ -124,3 +124,61 @@ def stream_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return correlate_event_streams(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"))
+
+
+@register(
+    "events_resample_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT t.h AS hour, e.event_type
+      FROM bounds,
+           LATERAL (SELECT unnest(generate_series(lo, hi,
+                    INTERVAL 1 HOUR)) AS h) t,
+           (SELECT DISTINCT event_type FROM events) e
+    ), hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY hour, event_type
+    )
+    SELECT s.hour, s.event_type,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN hourly h
+      ON s.hour = h.hour AND s.event_type = h.event_type
+    """,
+)
+def events_resample_hourly_gapfill(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Hourly resample with GAP FILLING: every (hour, event_type) cell of
+    the full time spine gets a row, zero-filled where no events landed —
+    the time-series completion step charting/forecasting consumers
+    require (a missing row and a zero row mean different things to a
+    downstream model; the hypertable rollup above only emits observed
+    buckets). ``sequence()`` builds the spine from the global (min, max)
+    hour — two scalars — crossed with the distinct type set.
+
+    Scale: the raw table collapses to hourly partials map-side (the same
+    ONE shuffle as the rollup); the spine is hours × types rows —
+    thousands per year, generated, never scanned — and the gap-fill is a
+    left join of the tiny spine against the tiny hourly layer. Cost is
+    the aggregate, the completion is free."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = (bounds.select(F.explode(F.sequence(
+        F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR")))
+        .alias("hour"))
+        .crossJoin(types))
+    return (spine.join(hourly, ["hour", "event_type"], "left")
+            .select("hour", "event_type",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                    .alias("n_events")))
