@@ -292,3 +292,58 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ("vec_id bigint, "
               + ", ".join(f"pc{c}_q bigint" for c in range(PCA_K)))
     return e.select("vec_id", "embedding").mapInPandas(project, schema)
+
+
+@register(
+    "embedding_outlier_flags",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_sum(list_transform(embedding,
+                 v -> CAST(FLOOR(CAST(v AS DOUBLE) * {DIM_Q3}) AS BIGINT)
+                      * CAST(FLOOR(CAST(v AS DOUBLE) * {DIM_Q3}) AS BIGINT)
+             )) AS d2
+      FROM embeddings
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(d2 AS HUGEINT)) AS s,
+             SUM(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS ss
+      FROM q
+    )
+    SELECT q.vec_id, CAST(q.d2 AS BIGINT) AS norm_q2,
+           (m.n * q.d2 - m.s) * (m.n * q.d2 - m.s)
+             > 9 * m.n * (m.n * m.ss - m.s * m.s) AS is_outlier
+    FROM q, m
+    """,
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC: flag vectors whose (quantized) squared L2 norm sits
+    more than 3σ from the corpus mean — the cheap screen that catches
+    zero vectors, unnormalized strays, and exploded activations before
+    they poison an index or a k-means fit.
+
+    Same float-free z-test as ``events_anomaly_days``, but the moments
+    here square ~2e7-magnitude norms, so the comparison runs in 128-bit
+    integer space — ``DECIMAL(38,0)`` in Spark, ``HUGEINT`` in DuckDB —
+    where every product (≤ ~22 digits) is exact in both engines; int64
+    would wrap at ~2k vectors.
+
+    Scale: one map-side pass folds each vector to a scalar norm; the
+    moment frame is THREE scalars broadcast back; flagging is map-only."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    vq = F.transform("embedding",
+                     lambda x: F.floor(x.cast("double") * DIM_Q3)
+                     .cast("long"))
+    d2 = F.aggregate(vq, F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    q = e.select("vec_id", d2.alias("d2"))
+    dec = F.col("d2").cast("decimal(38,0)")
+    m = q.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum(dec).alias("s"),
+              F.sum(dec * dec).alias("ss"))
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    dev = n * F.col("d2").cast("decimal(38,0)") - s
+    return (q.crossJoin(F.broadcast(m))
+            .select("vec_id", F.col("d2").cast("bigint").alias("norm_q2"),
+                    (dev * dev > F.lit(9) * n * (n * ss - s * s))
+                    .alias("is_outlier")))

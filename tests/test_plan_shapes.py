@@ -27,6 +27,7 @@ NESTED_LOOP_BY_DESIGN = {
     # cheapest possible way to ship a global scalar to every task
     "sample_weighted_mix",        # global feasible-total scalar
     "stats_histogram_equiwidth",  # global (min,max) bounds scalar
+    "embedding_outlier_flags",    # global norm-moments scalar frame
     # generated-spine completion: hour sequence × distinct type domain —
     # a cross join of two tiny GENERATED frames (thousands of rows),
     # never of scanned data
