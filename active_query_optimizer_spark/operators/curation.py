@@ -193,9 +193,13 @@ MIX_WSUM = 5 * MIX_W_HIGH + 5 * MIX_W_MID + 10 * MIX_W_TAIL
 #: keep-decision granularity (prime, ~1e6 slots)
 MIX_MOD = 999983
 
-_MIX_W_SQL = f"""CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+#: TRY_CAST on both engines: a source name with no numeric suffix parses
+#: to NULL (→ tail weight) instead of erroring the whole job — DuckDB's
+#: plain CAST('', INT) throws where Spark's cast yields NULL, so the
+#: lenient form is also what keeps the two engines identical
+_MIX_W_SQL = f"""CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
                            AS INT) < 5 THEN {MIX_W_HIGH}
-                      WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                      WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
                            AS INT) < 10 THEN {MIX_W_MID}
                       ELSE {MIX_W_TAIL} END"""
 
@@ -238,7 +242,7 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (one row per source); the keep decision is a map-only
     filter over the corpus — no row bodies ever shuffle."""
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
-    idx = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    idx = F.expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)")
     w = (F.when(idx < 5, MIX_W_HIGH).when(idx < 10, MIX_W_MID)
          .otherwise(MIX_W_TAIL))
     wsrc = (d.groupBy("source")
