@@ -48,7 +48,6 @@ _DRIVER_ORDER = [
     "merge_join_count", "nested_loop_theta_count",
     "self_join_count",
     "pred_or",
-    "count_min_multi_agg",
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
     # --- r02 non-green: multimodal now exact-oracled (3)
     "multimodal_feature_extract", "multimodal_resize_grid",
@@ -92,10 +91,12 @@ _DRIVER_ORDER = [
     #     the displaced pred_in's IN-literal predicate is represented by
     #     event_funnel_steps' isin stage filter, in-window)
     "events_pivot_daily", "events_resample_hourly_gapfill",
-    # --- round-3 addition: embedding QC (1; pred_epoch_int's epoch-int
-    #     comparisons are the same integer-predicate family as every
-    #     quantized-integer filter in-window)
-    "embedding_outlier_flags",
+    # --- round-3 additions: embedding QC + integer PageRank (2;
+    #     pred_epoch_int's epoch-int comparisons are the same
+    #     integer-predicate family as every quantized-integer filter
+    #     in-window; count_min_multi_agg's count/min/max multi-agg is
+    #     repped by stats_histogram_equiwidth, in-window)
+    "embedding_outlier_flags", "docrank_neardup_pagerank",
     # ---------------- driver window boundary (50) ----------------
     # --- r01-green basics displaced by the additions above (9;
     #     pred_eq_neq's equality predicates are exercised by every
@@ -107,6 +108,7 @@ _DRIVER_ORDER = [
     "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
     "min_projection_job_style", "groupby_having", "pred_null_checks",
     "pred_like", "case_when_bucket_agg", "pred_in", "pred_epoch_int",
+    "count_min_multi_agg",
     # --- rows-only r02 by design, unchanged source, rotated out (3)
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     # --- r02-green fillers rotated back out (3)

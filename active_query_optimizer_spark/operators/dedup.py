@@ -616,3 +616,84 @@ def dedup_incremental(new_docs: DataFrame, store: DataFrame,
     updated = store.select("fp_a", "fp_b").unionByName(
         fresh_fps.select("fp_a", "fp_b"))
     return fresh, updated
+
+
+#: integer PageRank: rank scale (1e6), damping 0.85, fixed 5 iterations —
+#: every update is integer arithmetic (`//`), so the trajectory is exact
+#: and identical in any engine; truncation loss is deterministic
+PR_SCALE = 1_000_000
+PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    pairs = _jaccard_oracle("TRUE", JACCARD_THRESHOLD, MINHASH_SHINGLE_N)
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""
+        r{k} AS (
+          SELECT e.v AS node,
+                 150000 + 85 * SUM(r{k - 1}.r // deg.d) // 100 AS r
+          FROM edges e
+          JOIN r{k - 1} ON e.u = r{k - 1}.node
+          JOIN deg ON e.u = deg.u
+          GROUP BY e.v
+        )""")
+    return f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+    {','.join(steps)}
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_q
+    FROM r{PR_ITERS}
+    """
+
+
+@register("docrank_neardup_pagerank", oracle=_pagerank_oracle())
+def docrank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-duplicate graph — ranks documents
+    by how centrally they sit in duplicate clusters (the doc to KEEP when
+    a cluster collapses, and a boilerplate-detector signal: high-rank
+    nodes are hub texts many others nearly copy).
+
+    The showpiece property: an ITERATIVE distributed graph algorithm with
+    a full value-hash oracle. Float PageRank can never hash-match across
+    engines (per-iteration rounding drift); quantizing ranks to integers
+    and making every update pure integer arithmetic
+    (``r' = 0.15·S + (85·Σ r/deg) // 100``) makes the 5-iteration
+    trajectory EXACTLY reproducible — DuckDB replays it as unrolled CTEs
+    over the same exact-Jaccard pair set the LSH path provably recovers.
+
+    Scale: the edge list (near-dup pairs — orders of magnitude smaller
+    than the corpus) is persisted with its degrees once; each iteration
+    is one join + one aggregate on (node, rank) pairs, the same bounded
+    shape as connected components, with a FIXED round count (no
+    convergence action)."""
+    from pyspark import StorageLevel
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                       F.col("doc_a").alias("v"))))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = (edges.join(deg, "u")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    r = deg.select(F.col("u").alias("node"),
+                   F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        r = (ed.join(r, ed.u == r.node)
+             .groupBy(F.col("v").alias("out_node"))
+             .agg(F.expr("150000 + (85 * sum(r div d)) div 100")
+                  .cast("bigint").alias("r"))
+             .select(F.col("out_node").alias("node"), "r"))
+    out = r.select(F.col("node").alias("doc_id"),
+                   F.col("r").alias("rank_q"))
+    # one action materializes the chain before the edge cache is released
+    out = out.localCheckpoint(eager=True)
+    ed.unpersist()
+    return out
