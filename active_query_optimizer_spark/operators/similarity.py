@@ -284,7 +284,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 8            # product-quantizer subspaces (64/8 = 8 dims each)
 PQ_KS = 16          # codes per subspace (4-bit codes)
-PQ_TRAIN_MOD = 3    # deterministic training-sample thinning (vec_id % MOD)
+PQ_TRAIN_MAX = 4096  # absolute cap on driver-collected PQ training vectors
 PQ_ITERS = 12       # Lloyd iterations per subspace
 PQ_RERANK = 100     # ADC shortlist size re-ranked with exact cosine —
 #                     sized so PQ recall tracks plain IVF (4-bit codes on
@@ -334,15 +334,21 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against broadcast codebooks, map-only); search = semi-join on cell id
     + an Arrow table-lookup gather per batch; the only shuffles are the
     candidate join and the two tiny top-k windows. Training is
-    driver-side Lloyd on a deterministic ``vec_id % {mod}``-thinned
-    residual sample (bounded collect; at real scale swap in a capped
-    date/hash-sampled training set — the fit cost is independent of
-    corpus size either way).""".format(mod=PQ_TRAIN_MOD)
+    driver-side Lloyd on a hash-ordered ``LIMIT PQ_TRAIN_MAX`` residual
+    sample — a distributed TakeOrdered, so the collect is a fixed
+    ``PQ_TRAIN_MAX`` vectors (O(1) in corpus rows) and deterministic
+    under any partitioning (xxhash64 order with vec_id tiebreak)."""
     assigned, centers = _ivf_fit(spark, sf_dir)
     cents = np.array(centers)
 
-    # --- train: residual sample, sorted for determinism
-    samp = (assigned.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    # --- train: hash-ordered absolute-size sample (TakeOrdered — the
+    # driver receives exactly min(N, PQ_TRAIN_MAX) rows regardless of
+    # corpus size), then vec_id-sorted for a partitioning-independent
+    # codebook
+    samp = (assigned
+            .orderBy(F.xxhash64(F.col("vec_id")).asc(),
+                     F.col("vec_id").asc())
+            .limit(PQ_TRAIN_MAX)
             .select("vec_id", "nemb", "cell").collect())
     samp.sort(key=lambda r: r["vec_id"])
     res = np.stack([np.asarray(r["nemb"]) - cents[r["cell"]] for r in samp])

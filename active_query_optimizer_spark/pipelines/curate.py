@@ -8,9 +8,12 @@ Each stage is the same primitive its registry operator exposes (same
 thresholds, same semantics — the operators ARE the pipeline, not a
 parallel implementation), composed on doc_id so every filter is a
 column/semi-join step in one lineage. Stage survivor counts are one
-``count()`` action per stage — the funnel numbers ARE the pipeline's
-product; at petabyte scale you'd persist() the two reused frames
-(post-dedup, post-decontam) so the counting never re-runs a stage.
+``count()`` action per stage; the frames a later action would otherwise
+recompute (post-PII — consumed twice by the dedup self-semi-join —
+post-dedup — consumed three times by decontamination — and
+post-decontam) are ``persist()``ed and unpersisted before return, so
+each stage's tokenize/regex/fingerprint work executes once per run at
+any scale.
 
 Scale: every stage is either map-only (flags, split hash) or the
 operator's own bounded-shuffle shape (dedup groupBy on fingerprints,
@@ -62,14 +65,19 @@ def run_curation(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
     pii = (F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN))
            + F.regexp_count(F.col("text"), F.lit(DIGITRUN_PATTERN)))
     d = d.filter(pii == 0)
+    # persist: the dedup stage consumes this frame TWICE (fingerprint
+    # build + survivor semi-join back) — without it the quality/PII
+    # regex work re-executes per consumer
+    d = d.drop("_toks", "_dup").persist()
+    pinned = [d]
     counts["pii_clean"] = d.count()
 
     # --- exact dedup: one survivor per content fingerprint (the
     # operator's own survivor function — min doc_id wins, deterministic);
     # survivors semi-join back so full rows continue down the pipeline
-    d = d.drop("_toks", "_dup")
     d = d.join(fingerprint_survivors(d).select("doc_id"), "doc_id",
-               "left_semi")
+               "left_semi").persist()  # consumed 3× by decontamination
+    pinned.append(d)
     counts["dedup_survivors"] = d.count()
 
     # --- decontamination: drop the benchmark slice itself AND any doc
@@ -93,7 +101,8 @@ def run_curation(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
                   .agg(F.count(F.lit(1)).alias("n_tot")), "doc_id")
             .filter(F.col("n_sh")
                     >= F.col("n_tot") * DECONTAM_DROP_FRACTION))
-    d = corpus.join(frac, "doc_id", "left_anti")
+    d = corpus.join(frac, "doc_id", "left_anti").persist()
+    pinned.append(d)
     counts["decontaminated"] = d.count()
 
     # --- split assignment (deterministic multiplicative hash) + publish
@@ -104,4 +113,6 @@ def run_curation(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
         .when(bucket < TRAIN_PCT + VALID_PCT, "valid").otherwise("test"))
     write_curated(d.select("doc_id", "text", "lang", "split"), out_path)
     counts["published"] = spark.read.parquet(out_path).count()
+    for f in pinned:
+        f.unpersist()
     return counts

@@ -22,7 +22,6 @@ wrong at 100 TB:
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,15 +40,32 @@ def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
        .write.mode("overwrite").parquet(path))
 
 
+def _dir_parquet_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of ``*.parquet`` files under ``path``, via the Hadoop
+    FileSystem API — so sizing works on ANY Spark-supported filesystem
+    (HDFS, S3A, local), not just driver-local paths. The recursive
+    listing is the same metadata call the scan planner makes; its cost is
+    file-count-bound, not data-bound."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+    return total
+
+
 def compact_dir(spark: SparkSession, path: str, out_path: str,
                 target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Compact a parquet directory into ``ceil(total_bytes / target)``
     files with a shuffle-free ``coalesce`` rewrite; returns the output
     file count. Reads the directory's real on-disk size (not row counts —
-    compression ratio varies) to pick the count."""
-    total = sum(os.path.getsize(os.path.join(root, f))
-                for root, _, files in os.walk(path)
-                for f in files if f.endswith(".parquet"))
+    compression ratio varies) through the Hadoop FileSystem API, so the
+    helper is storage-agnostic (local / HDFS / S3A)."""
+    total = _dir_parquet_bytes(spark, path)
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(path).coalesce(n).write.mode(
         "overwrite").parquet(out_path)

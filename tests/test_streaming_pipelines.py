@@ -401,3 +401,56 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert got == exp and got
     plan = exp_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_anomaly_monitor_restart_resumes_history(spark, tmp_path):
+    """Restarting the monitor against an EXISTING checkpoint must not
+    restart the warm-up: with ``state_dir`` set, a fresh AnomalyMonitor
+    reloads the persisted moments, Spark skips the committed batches, and
+    the union of flags across both runs equals one sequential replay of
+    all finalized days (ADVICE r3: driver-dict-only history was silently
+    wrong on restart)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.streaming.monitor import (
+        AnomalyMonitor, daily_counts_stream, run_monitor_stream)
+
+    batch = load_table(spark, SF_SMALL, "events")
+    ts = F.col("ts").cast("timestamp")
+    lo, hi = batch.agg(F.min(ts), F.max(ts)).collect()[0]
+    split = lo + (hi - lo) / 2
+    src = str(tmp_path / "ev_restart")
+    ck = str(tmp_path / "ck_restart")
+    st = str(tmp_path / "state_restart")
+
+    # run 1: first half of the timeline only
+    batch.filter(ts < F.lit(split)).repartition(1).write.parquet(
+        src + "/part1")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("recursiveFileLookup", "true").parquet(src))
+    q, mon1 = run_monitor_stream(stream, ck, state_dir=st)
+    q.awaitTermination(120)
+    assert mon1.flags, "first run observed no finalized days"
+
+    # run 2: remaining events land; NEW monitor, SAME checkpoint + state
+    batch.filter(ts >= F.lit(split)).repartition(1).write.parquet(
+        src + "/part2")
+    stream2 = (spark.readStream.schema(batch.schema)
+               .option("recursiveFileLookup", "true").parquet(src))
+    q2, mon2 = run_monitor_stream(stream2, ck, state_dir=st)
+    q2.awaitTermination(120)
+    assert len(mon2.flags) > len(mon1.flags), "second run finalized no days"
+
+    # sequential replica over ALL finalized days in one pass
+    daily = (daily_counts_stream(batch)
+             .withColumn("day", F.col("day").cast("timestamp")).collect())
+    finalized = [r for r in daily
+                 if r["day"] + datetime.timedelta(days=1) <= hi]
+    replica = AnomalyMonitor()
+    for r in sorted(finalized, key=lambda r: (r["day"], r["event_type"])):
+        replica.observe(r["event_type"], r["day"], r["cnt"])
+    assert mon2.flags == replica.flags
+    assert mon2.moments == replica.moments
