@@ -18,7 +18,7 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
              "pipelineops", "streamops", "curation", "quality", "analytics",
-             "embedvec"):
+             "embedvec", "cdcops"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover - partial checkout
@@ -28,80 +28,24 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). Round-3 layout:
-#: the 31 basics rotated past r02's window come BACK in (they re-earn a
-#: current-round row), the 6 entries that were not hash-green in r02 stay
-#: in (three multimodal rows now carry exact oracles, three are
-#: legitimately approximate rows-only), and the remaining in-window slots
-#: hold entries whose source changes this round plus round-3 additions.
+#: Driver-facing registration order (see module docstring). Round-4 layout
+#: (staleness rule: after this round no query's newest green driver row
+#: should be older than round 2):
+#: - the 20 basics whose newest green row is ROUND 1 (three rounds stale)
+#:   come back in-window first;
+#: - the 10 round-4 additions need their first row;
+#: - ``ann_ivf_pq_topk``'s training collect changed this round (absolute
+#:   cap) → fresh row;
+#: - the remaining 19 slots go to the OLDEST r02-only entries (joins/
+#:   text/dedup families); the 25 r02-only entries that don't fit keep
+#:   their r02 rows (two rounds old at r4's close — the staleness bound)
+#:   and rotate in next round;
+#: - every r03-green entry rotates to the tail (freshest rows on record).
 #: The 50-entry window is an observed driver behavior, treated as
-#: best-effort: entries past it keep their prior-round rows on record.
+#: best-effort: entries past it keep their prior-round rows and the local
+#: sweep (SWEEP_r4.json) re-verifies the whole registry every round.
 _DRIVER_ORDER = [
-    # --- r01-green basics, back in-window after r02 rotation (16; the
-    #     rest displaced just past the boundary by round-3 first-row
-    #     additions — each displaced entry keeps an in-window family
-    #     representative, e.g. rollup_agg for the multi-grouping trio,
-    #     pred_range_ops→Q3/Q5 date predicates, broadcast_join_count→Q5's
-    #     explicit broadcasts; full list + rationale in NOTES_r3.md)
-    "rollup_agg",
-    "scan_filter_count", "projection_join", "hash_join_count",
-    "merge_join_count", "nested_loop_theta_count",
-    "self_join_count",
-    "pred_or",
-    "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
-    # --- r02 non-green: multimodal now exact-oracled (3)
-    "multimodal_feature_extract", "multimodal_resize_grid",
-    "multimodal_frame_sample",
-    # --- source changes this round → need a fresh row (3)
-    "dedup_fingerprint_survivors", "dedup_minhash_clusters",
-    "decontam_ngram_overlap",
-    # --- round-3 additions: quality/curation operators (6)
-    "quality_repetition_rules", "pii_flag_docs", "split_assign_hash",
-    "seq_length_histogram", "tfidf_top_terms_per_source",
-    "embedding_norm_histogram",
-    # --- round-3 addition: stream-stream interval join, batch form (1)
-    "stream_conversion_attribution",
-    # --- round-3 additions: analytics / kNN / token-freq / semantic CC /
-    #     cross-source overlap / percentiles (7: first rows outrank
-    #     re-greening unchanged r02 entries)
-    "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
-    "quality_token_freq_score", "dedup_embedding_clusters",
-    "cross_source_overlap", "stats_length_percentiles",
-    # --- round-3 additions: embedding-column preprocessing (4; PCA is
-    #     rows-only — eigendecomposition has no SQL analog)
-    "embedding_quantize_int8", "embedding_dim_stats", "embedding_gram_upper",
-    "embedding_pca_project",
-    # --- round-3 additions: mixture sampling / histogram stats / volume
-    #     anomaly monitoring / IVF-PQ (4; the PQ entry is rows-only —
-    #     approximate, recall-pinned like ann_ivf/ann_lsh)
-    "sample_weighted_mix", "stats_histogram_equiwidth",
-    "events_anomaly_days", "ann_ivf_pq_topk",
-    # --- round-3 additions: classic decision-support shapes (3 — their
-    #     ts-literal/range/broadcast predicates also represent the
-    #     displaced pred_ts_literal / pred_range_ops /
-    #     broadcast_join_count basics)
-    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
-    "window_running_total",
-    # --- round-3 additions: join-cardinality ground truth (exact +
-    #     CountMin-sketch estimate), key-skew profile, bloom-prefiltered
-    #     join (4)
-    "stats_join_size_exact", "stats_join_size_cm_sketch",
-    "stats_key_skew_profile", "join_bloom_prefilter_count",
-    # --- round-3 additions: wide-format pivot, gap-filled resample (2;
-    #     the displaced pred_in's IN-literal predicate is represented by
-    #     event_funnel_steps' isin stage filter, in-window)
-    "events_pivot_daily", "events_resample_hourly_gapfill",
-    # --- round-3 additions: embedding QC + integer PageRank (2;
-    #     pred_epoch_int's epoch-int comparisons are the same
-    #     integer-predicate family as every quantized-integer filter
-    #     in-window; count_min_multi_agg's count/min/max multi-agg is
-    #     repped by stats_histogram_equiwidth, in-window)
-    "embedding_outlier_flags", "docrank_neardup_pagerank",
-    # ---------------- driver window boundary (50) ----------------
-    # --- r01-green basics displaced by the additions above (9;
-    #     pred_eq_neq's equality predicates are exercised by every
-    #     equi-join entry still in-window, distinct_count's by the
-    #     in-window count_distinct aggregations)
+    # --- r01-stale basics, back in-window (20)
     "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
     "pred_not_like", "pred_between", "intersect_except_keys",
     "date_trunc_monthly", "pred_eq_neq", "distinct_count",
@@ -109,12 +53,16 @@ _DRIVER_ORDER = [
     "min_projection_job_style", "groupby_having", "pred_null_checks",
     "pred_like", "case_when_bucket_agg", "pred_in", "pred_epoch_int",
     "count_min_multi_agg",
-    # --- rows-only r02 by design, unchanged source, rotated out (3)
-    "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
-    # --- r02-green fillers rotated back out (3)
-    "dedup_minhash_lsh", "pack_sequences_budget",
-    "stream_sessionize_events",
-    # --- r02-green, rotated to the tail (38)
+    # --- round-4 additions: first driver rows (10; the HLL entry is
+    #     rows-only — sketch estimates are engine-specific by design)
+    "stats_column_cardinalities_approx", "decontam_substring_containment",
+    "window_rolling_7day_avg", "latest_order_per_customer",
+    "scalar_subquery_small_qty", "events_unpivot_daily",
+    "stats_null_profile", "embedding_lang_centroids",
+    "graph_triangle_count", "upsert_snapshot_apply",
+    # --- source changed this round (PQ training collect capped) (1)
+    "ann_ivf_pq_topk",
+    # --- oldest r02-only entries re-greened (19)
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
     "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
     "hypertable_rollup_daily",
@@ -122,7 +70,11 @@ _DRIVER_ORDER = [
     "text_langid", "text_fingerprint", "text_lang_summary",
     "text_pattern_flags", "text_top_terms",
     "dedup_simhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "ann_cosine_topk", "multimodal_bytes_features",
+    "dedup_embedding_cosine",
+    # ---------------- driver window boundary (50) ----------------
+    # --- r02-only entries that did not fit this round (25; their r02
+    #     rows are exactly two rounds old — first in line for round 5)
+    "ann_cosine_topk", "multimodal_bytes_features",
     "stats_numeric_ranges", "stats_topk_frequent_values",
     "stats_distinct_values", "stats_column_cardinalities",
     "plan_selection_argmin", "spearman_rank_corr",
@@ -132,6 +84,35 @@ _DRIVER_ORDER = [
     "outer_join_count_per_customer", "in_subquery_count",
     "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
     "groupby_agg",
+    "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
+    "dedup_minhash_lsh", "pack_sequences_budget",
+    "stream_sessionize_events",
+    # --- r03-green, rotated to the tail (49)
+    "rollup_agg", "scan_filter_count", "projection_join",
+    "hash_join_count", "merge_join_count", "nested_loop_theta_count",
+    "self_join_count", "pred_or",
+    "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
+    "multimodal_feature_extract", "multimodal_resize_grid",
+    "multimodal_frame_sample",
+    "dedup_fingerprint_survivors", "dedup_minhash_clusters",
+    "decontam_ngram_overlap",
+    "quality_repetition_rules", "pii_flag_docs", "split_assign_hash",
+    "seq_length_histogram", "tfidf_top_terms_per_source",
+    "embedding_norm_histogram",
+    "stream_conversion_attribution",
+    "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
+    "quality_token_freq_score", "dedup_embedding_clusters",
+    "cross_source_overlap", "stats_length_percentiles",
+    "embedding_quantize_int8", "embedding_dim_stats", "embedding_gram_upper",
+    "embedding_pca_project",
+    "sample_weighted_mix", "stats_histogram_equiwidth",
+    "events_anomaly_days",
+    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
+    "window_running_total",
+    "stats_join_size_exact", "stats_join_size_cm_sketch",
+    "stats_key_skew_profile", "join_bloom_prefilter_count",
+    "events_pivot_daily", "events_resample_hourly_gapfill",
+    "embedding_outlier_flags", "docrank_neardup_pagerank",
 ]
 
 

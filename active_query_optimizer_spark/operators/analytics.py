@@ -230,3 +230,31 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
                  for t in PIVOT_EVENT_TYPES])
+
+
+@register(
+    "events_unpivot_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE event_type IN ('click', 'error', 'purchase',
+                                     'signup', 'view')
+    GROUP BY day, event_type
+    """,
+)
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt: the pivoted daily matrix unpivoted back to
+    ``(day, event_type, cnt)`` rows via ``unpivot`` (Expand — each input
+    row fans out to one row per measure column, map-only, no shuffle
+    beyond the pivot aggregate's own). The round-trip property — melt of
+    the pivot equals the plain grouped count the oracle states — is
+    exactly what makes wide marts safe to re-normalize downstream.
+    Zero-filled cells from pivot are dropped on unpivot (a day with no
+    errors has no 'error' row in long form)."""
+    wide = events_pivot_daily(spark, sf_dir)
+    cols = [f"n_{t}" for t in PIVOT_EVENT_TYPES]
+    long = wide.unpivot(["day"], cols, "event_type", "cnt")
+    return (long.filter(F.col("cnt") > 0)
+            .select("day",
+                    F.expr("substring(event_type, 3)").alias("event_type"),
+                    F.col("cnt").cast("bigint")))

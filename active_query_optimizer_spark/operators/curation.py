@@ -103,6 +103,91 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("contaminated")))
 
 
+#: shingle width for substring-containment anchors: long enough that an
+#: anchor is a discriminating phrase, and the minimum eval-string length
+#: the containment rule covers (shorter eval strings have no 12-gram)
+DECONTAM_SUB_SHINGLE_N = 12
+
+
+@register(
+    "decontam_substring_containment",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, text AS bench_text FROM documents
+      WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+        AND len(text) >= {DECONTAM_SUB_SHINGLE_N}
+    ), anchors AS (
+      SELECT bench_id, MIN(g) AS g FROM (
+        SELECT bench_id,
+               unnest({tt.shingle_hashes_sql('bench_text',
+                                             DECONTAM_SUB_SHINGLE_N)}) AS g
+        FROM bench
+      ) GROUP BY bench_id
+    ), corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    ), cand AS (
+      SELECT cs.doc_id, a.bench_id FROM (
+        SELECT doc_id,
+               unnest({tt.shingle_hashes_sql('text',
+                                             DECONTAM_SUB_SHINGLE_N)}) AS g
+        FROM corpus
+      ) cs JOIN anchors a USING (g)
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.bench_id) AS BIGINT) AS n_eval_hits
+    FROM cand c
+    JOIN corpus d ON c.doc_id = d.doc_id
+    JOIN bench b ON c.bench_id = b.bench_id
+    WHERE instr(d.text, b.bench_text) > 0
+    GROUP BY c.doc_id
+    """,
+)
+def decontam_substring_containment(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Exact eval-string containment decontamination — the complement of
+    the fraction-overlap rule: a corpus document is contaminated when a
+    benchmark/eval string occurs VERBATIM inside it (the rule eval-suite
+    owners publish for memorization screening), not merely when shingle
+    sets overlap.
+
+    Exact via inverted-index + verify: a doc containing eval string e
+    necessarily contains every 12-char shingle of e, so each eval string
+    contributes ONE anchor shingle (its min-hash shingle — any one works,
+    min is deterministic) to an inverted index; corpus docs are probed by
+    shingle join, and only the surviving (doc, eval) candidate pairs pay
+    an exact ``instr`` verification. No false negatives (anchor
+    containment is implied by string containment), no false positives
+    (verify is exact). Eval strings shorter than the shingle width carry
+    no anchor and are documented out of scope.
+
+    Scale: the anchor index is one hash per eval string (eval suites are
+    bounded — broadcast-sized in production; AQE decides here since THIS
+    synthetic bench slice grows with SF). Text bodies move only for
+    verified candidates — the corpus-wide work is the same shingle scan
+    the overlap rule already does."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    n = DECONTAM_SUB_SHINGLE_N
+    bench = (d.filter((F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+                      & (F.length("text") >= n))
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.col("text").alias("bench_text")))
+    anchors = bench.select(
+        "bench_id",
+        F.array_min(tt.shingle_hashes(F.col("bench_text"), n)).alias("g"))
+    corpus = (d.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+              .select("doc_id", "text"))
+    cand = (corpus
+            .select("doc_id", F.explode(
+                tt.shingle_hashes(F.col("text"), n)).alias("g"))
+            .join(anchors, "g")
+            .select("doc_id", "bench_id"))
+    return (cand.join(corpus, "doc_id").join(bench, "bench_id")
+            .filter(F.expr("instr(text, bench_text) > 0"))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("bench_id").alias("n_eval_hits")))
+
+
 @register(
     "pack_sequences_budget",
     oracle=f"""

@@ -697,3 +697,53 @@ def docrank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     ed.unpersist()
     return out
+
+
+def _triangle_oracle() -> str:
+    pairs = _jaccard_oracle("TRUE", JACCARD_THRESHOLD, MINHASH_SHINGLE_N)
+    return f"""
+    WITH pairs AS ({pairs}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+
+
+@register("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the verified near-duplicate graph — the
+    clustering-coefficient numerator: triangle-dense regions are template
+    families (boilerplate whose members all nearly copy each other),
+    where sparse chains are drift sequences — a different dedup-policy
+    signal than PageRank's hubs. Same pair source as
+    ``docrank_neardup_pagerank``; the oracle replays it over the
+    exact-Jaccard pair set.
+
+    Exact and counted once per triangle: edges are kept in id order
+    (a < b from the pair join), so a triangle {x<y<z} appears exactly as
+    (x,y)+(y,z) closed by (x,z) — two joins, no post-dedup, no 6x
+    overcount. Scale: the near-dup edge list is orders of magnitude
+    smaller than the corpus; both joins shuffle on single node keys. For
+    skewed degree distributions the standard upgrade is degree-ordered
+    orientation (point each edge at the higher-degree endpoint) which
+    bounds any node's out-wedges — unnecessary while the graph stays
+    near-dup-sparse."""
+    pairs = (dedup_minhash_lsh(spark, sf_dir)
+             .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .persist())
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"),
+                      F.lit(1).alias("closed"))
+    tri = (e1.join(e2, "y")
+           .join(e3, ["x", "z"])
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    out = (pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+           .crossJoin(tri)
+           .select("n_edges", "n_triangles")
+           .localCheckpoint(eager=True))
+    pairs.unpersist()
+    return out

@@ -347,3 +347,48 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("d2").cast("bigint").alias("norm_q2"),
                     (dev * dev > F.lit(9) * n * (n * ss - s * s))
                     .alias("is_outlier")))
+
+
+@register(
+    "embedding_lang_centroids",
+    oracle=f"""
+    SELECT lang, dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vq) // COUNT(*) AS BIGINT) AS centroid_q
+    FROM (
+      SELECT d.lang AS lang, t.i - 1 AS dim,
+             CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * {DIM_Q})
+               AS BIGINT) AS vq
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding)))
+                    AS i) t
+    )
+    GROUP BY lang, dim
+    """,
+)
+def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group centroid vectors (grouped by document language) — the
+    aggregation every cluster-then-curate loop needs: class prototypes
+    for nearest-centroid routing, per-domain drift monitoring, or seeding
+    IVF coarse quantizers from labeled strata. Centroid elements are
+    integer: 1e-6-quantized element sums divided with ``div`` (exact in
+    both engines; the ~1e-6 floor bias is far below embedding noise).
+
+    Scale: the metadata join is vec_id = doc_id (co-partitioned by the
+    load helper); posexplode then ONE shuffle of (lang, dim) partial
+    aggregates — map-side combine moves |langs|x|dims| rows per
+    partition, never n_rows x dims. Same discipline as
+    ``embedding_dim_stats``, with the group key widened."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id").select(
+        F.col("doc_id").alias("vec_id"), "lang")
+    vd = F.col("v").cast("double")
+    expl = (e.join(d, "vec_id")
+            .select("lang", F.posexplode("embedding").alias("dim", "v"))
+            .select("lang", "dim",
+                    F.floor(vd * DIM_Q).cast("bigint").alias("vq")))
+    return (expl.groupBy("lang", "dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("sum(vq) div count(1)").cast("bigint")
+                  .alias("centroid_q")))

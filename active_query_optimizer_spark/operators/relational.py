@@ -1255,3 +1255,119 @@ def join_bloom_prefilter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_true"),
         F.sum(F.when(F.col("pass") & ~F.col("hit"), 1).otherwise(0))
          .cast("bigint").alias("n_false_pos"))
+
+
+# ---------------------------------------------------------------------------
+# 9. Round-4 decision-support additions: range-frame windows, arg-max
+#    aggregation, correlated scalar-subquery filter (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rolling_7day_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate)
+               AS BIGINT) // 86400
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_7d
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+)
+def window_rolling_7day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per customer — the RANGE-frame window class
+    (``window_running_total`` covers ROWS frames): the frame is defined by
+    *value distance* on epoch-days, so all orders within the trailing week
+    aggregate regardless of row count, and same-day peers are always in
+    frame together (peer semantics make the result independent of tie
+    order — no tiebreak column needed, unlike ROWS frames).
+
+    Scale: identical shuffle shape to any partitioned window — ONE hash
+    exchange on o_custkey + in-partition sort on the day key; the range
+    frame is evaluated by two moving pointers over the sorted run, never
+    a per-row rescan. Decimal accumulation keeps every prefix exact."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0)
+    day = F.expr("unix_timestamp(o_orderdate) div 86400")
+    w = (Window.partitionBy("o_custkey").orderBy(day.cast("long"))
+         .rangeBetween(-6, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("rolling_7d"))
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, (CAST(epoch(o_orderdate) AS BIGINT) // 86400)
+                               * 10000000000 + o_orderkey)
+             AS latest_orderkey,
+           CAST(MAX(CAST(epoch(o_orderdate) AS BIGINT) // 86400)
+             AS BIGINT) AS latest_epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer latest order via arg-max aggregation (``max_by``) —
+    the "current state per key" query every snapshot/SCD pipeline runs.
+    A window row_number answer costs a full sort per partition;
+    ``max_by`` folds to ONE partial+final aggregate (each partition
+    keeps a single running champion per key — no sort, no second pass).
+    The champion key is ``epoch_day * 1e10 + orderkey`` (far inside
+    int64): orderkey is unique, so the ordering is total and both engines
+    deterministically agree on ties (bare ``max_by`` on a non-unique
+    timestamp would be engine-nondeterministic)."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    champ = (F.expr("unix_timestamp(o_orderdate) div 86400")
+             * F.lit(10_000_000_000).cast("long") + F.col("o_orderkey"))
+    return (o.groupBy("o_custkey")
+            .agg(F.max_by("o_orderkey", champ).alias("latest_orderkey"),
+                 F.max(F.expr("unix_timestamp(o_orderdate) div 86400"))
+                  .cast("bigint").alias("latest_epoch_day"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "scalar_subquery_small_qty",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_li
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(24,8))), 2)
+             AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 2 * p.n_li < p.sum_qty
+    """,
+)
+def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery ("quantity below
+    half this part's average"), decorrelated the way Catalyst itself
+    rewrites it: ONE grouped aggregate per part joined back to the fact
+    (a naive per-row subquery would rescan lineitem per part). The
+    threshold compare is cross-multiplied to integers
+    (``2*qty*n < sum``) so no engine ever divides — the predicate is
+    exact, and quantities are integer-valued by construction.
+
+    Scale: two passes over lineitem (aggregate + probe) sharing one
+    shuffle key (l_partkey) — co-partitioned join, no second exchange;
+    the per-part aggregate is partial+final (map-side combined)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                      .alias("sum_qty"),
+                     F.count(F.lit(1)).alias("n_li")))
+    return (li.join(per_part, "l_partkey")
+            .filter(F.col("l_quantity").cast("bigint") * 2 * F.col("n_li")
+                    < F.col("sum_qty"))
+            .agg(F.count(F.lit(1)).alias("n_small"),
+                 _dec_sum(F.col("l_extendedprice"), "revenue",
+                          "decimal(24,8)")))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_table
 from .registry import register
@@ -104,6 +105,38 @@ def stats_column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_nationkey").alias("ndv_nation"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register("stats_column_cardinalities_approx")  # rows-only: HLL estimates
+# are engine-specific sketch values (Spark HLL++ vs DuckDB's HLL disagree
+# by design); the error bound and determinism are pinned in tests
+def stats_column_cardinalities_approx(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """HLL-only NDV harvest for wide tables — every column's cardinality
+    estimate in ONE aggregate pass per table with NO exact second pass
+    (the ``distinct().limit()`` follow-up in ``string_value_stats`` is
+    the 100 TB cost this lane deletes; reference gate at
+    ``pg.py:124-128`` uses exact ``COUNT(DISTINCT)``).
+
+    Shape: partial+final HashAggregate of mergeable HLL++ sketches — raw
+    rows never shuffle; the single sketch row then unpivots to
+    ``(table, column, ndv_approx)`` rows JVM-side. Deterministic for
+    fixed data (hash-based sketch, no RNG)."""
+    frames = []
+    for tname in ("customer", "orders"):
+        t = load_table(spark, sf_dir, tname)
+        cols = [f.name for f in t.schema.fields
+                if not isinstance(f.dataType, (T.TimestampType,
+                                               T.TimestampNTZType))]
+        one = t.agg(*[F.approx_count_distinct(c).alias(c) for c in cols])
+        frames.append(
+            one.unpivot([], cols, "column", "ndv_approx")
+               .select(F.lit(tname).alias("table_name"), "column",
+                       F.col("ndv_approx").cast("bigint")))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name", "column")
 
 
 @register(
@@ -374,3 +407,72 @@ def stats_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (profile(li, "l_suppkey", "lineitem.l_suppkey")
             .unionAll(profile(o, "o_custkey", "orders.o_custkey")))
+
+
+@register(
+    "stats_null_profile",
+    oracle="""
+    SELECT table_name, "column", n_null, n_rows FROM (
+      SELECT 'documents' AS table_name, 'doc_id' AS "column",
+             CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+             CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents
+      UNION ALL SELECT 'documents', 'lang',
+             CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM documents
+      UNION ALL SELECT 'documents', 'n_chars',
+             CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM documents
+      UNION ALL SELECT 'documents', 'source',
+             CAST(COUNT(*) - COUNT(source) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM documents
+      UNION ALL SELECT 'documents', 'text',
+             CAST(COUNT(*) - COUNT(text) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM documents
+      UNION ALL SELECT 'events', 'event_id',
+             CAST(COUNT(*) - COUNT(event_id) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL SELECT 'events', 'event_type',
+             CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL SELECT 'events', 'props',
+             CAST(COUNT(*) - COUNT(props) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL SELECT 'events', 'ts',
+             CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL SELECT 'events', 'user_id',
+             CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL SELECT 'events', 'value',
+             CAST(COUNT(*) - COUNT(value) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM events
+    ) ORDER BY table_name, "column"
+    """,
+)
+def stats_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null profile — the completeness half of the harvester
+    (cardinalities are the uniqueness half): every column's null count in
+    ONE aggregate pass per table (``COUNT(col)`` skips nulls, so
+    ``COUNT(*) − COUNT(col)`` is the null count with no per-column scan,
+    where the reference's one-query-per-column loop would pay N scans,
+    ``pg.py:87-162``). The single sketch-free row then unpivots to
+    ``(table, column, n_null, n_rows)`` JVM-side.
+
+    Scale: partial+final HashAggregate of count buffers only — raw rows
+    never shuffle; cost is one table scan regardless of column count."""
+    frames = []
+    for tname in ("documents", "events"):
+        t = load_table(spark, sf_dir, tname)
+        cols = [f.name for f in t.schema.fields]
+        one = t.agg(F.count(F.lit(1)).alias("__n"),
+                    *[F.count(c).alias(c) for c in cols])
+        frames.append(
+            one.unpivot(["__n"], cols, "column", "n_notnull")
+               .select(F.lit(tname).alias("table_name"), "column",
+                       (F.col("__n") - F.col("n_notnull"))
+                       .cast("bigint").alias("n_null"),
+                       F.col("__n").cast("bigint").alias("n_rows")))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name", "column")

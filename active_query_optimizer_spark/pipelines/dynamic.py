@@ -99,6 +99,7 @@ def live_deployment_batches(spark: SparkSession, sf_dir: str,
                             seed: int = 42,
                             strategies: tuple[str, ...] =
                             LIVE_LABEL_STRATEGIES,
+                            timeout_s: float | None = 30.0,
                             ) -> tuple[list[list[Bundle]], list[list[Bundle]]]:
     """Generate → explore/label → (train_i, valid_i) splits: the live
     front half of the reference's deployment workflow. The workload comes
@@ -125,7 +126,7 @@ def live_deployment_batches(spark: SparkSession, sf_dir: str,
                 key=lambda r: r["id"])
     good: list[Bundle] = []
     for r in wl:
-        cands = label_query(spark, r["sql"], strategies)
+        cands = label_query(spark, r["sql"], strategies, timeout_s)
         if len(cands) >= 2:
             good.append((f"g{r['id']}",
                          [(c.plan, float(c.exec_time_ms)) for c in cands]))

@@ -20,6 +20,7 @@ exists to minimize how often we pay it).
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -189,19 +190,56 @@ def plan_variants(spark: SparkSession, sql: str,
     return out
 
 
-def _time_execution(df: DataFrame) -> float:
+#: a timed-out candidate is labeled at ``penalty * timeout`` ms — the
+#: Lero-style treatment (PG labeling runs under ``statement_timeout``):
+#: the ranker still learns "this plan is bad", and the labeling loop is
+#: never hostage to one pathological variant (a SHUFFLE_REPLICATE_NL
+#: hint can turn an equi-join into a near-cartesian plan whose runtime
+#: is unbounded relative to its siblings)
+LABEL_TIMEOUT_PENALTY = 2.0
+
+
+def _time_execution(df: DataFrame,
+                    timeout_s: float | None = None) -> float | None:
+    """Wall-clock ``collect()`` in ms; with ``timeout_s`` set, the action
+    runs in its own job group and a watchdog cancels the group at the
+    deadline (``interruptOnCancel`` so running tasks die too) — returns
+    ``None`` on timeout."""
+    if timeout_s is None:
+        t0 = time.perf_counter()
+        df.collect()
+        return (time.perf_counter() - t0) * 1000.0
+    sc = df.sparkSession.sparkContext
+    group = f"aqo-label-{time.monotonic_ns()}"
+    sc.setJobGroup(group, "candidate labeling", interruptOnCancel=True)
+    timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(group))
+    timer.start()
     t0 = time.perf_counter()
-    df.collect()
-    return (time.perf_counter() - t0) * 1000.0
+    try:
+        df.collect()
+        return (time.perf_counter() - t0) * 1000.0
+    except Exception:
+        if time.perf_counter() - t0 < timeout_s:
+            raise  # a real execution error, not the watchdog
+        return None
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
 
 
 def label_query(spark: SparkSession, sql: str,
                 strategies: tuple[str, ...] = HINT_STRATEGIES,
-                ) -> list[Candidate]:
+                timeout_s: float | None = None) -> list[Candidate]:
     """Execute every distinct variant of ``sql``; attach wall time and the
     AQE-final executed plan (with actual ``numOutputRows``) to each
     candidate — one labeled bundle, the reference's
     ``qid#####planJSON…`` line content.
+
+    With ``timeout_s`` set, each candidate's execution is cancelled at
+    the deadline and labeled ``LABEL_TIMEOUT_PENALTY * timeout_s`` ms
+    (see the penalty note above) with its *pre-execution* plan — the
+    labeling loop's wall clock is bounded by
+    ``variants x timeout`` no matter how pathological a variant plans.
 
     Post-execution discipline (SURVEY §7.3c): hints are requests — the
     *realized* strategy is read back from the executed plan
@@ -213,7 +251,14 @@ def label_query(spark: SparkSession, sql: str,
     for cand in plan_variants(spark, sql, strategies):
         with _conf_overrides(spark, cand.conf):
             df = spark.sql(cand.sql)
-            ms = _time_execution(df)
+            ms = _time_execution(df, timeout_s)
+            if ms is None:  # timed out — penalty label, pre-exec plan
+                labeled.append(Candidate(
+                    variant=cand.variant, sql=cand.sql,
+                    fingerprint=cand.fingerprint, plan=cand.plan,
+                    exec_time_ms=LABEL_TIMEOUT_PENALTY * timeout_s * 1000.0,
+                    conf=cand.conf))
+                continue
             executed = capture_plan(df, executed=True)
             realized = realized_join_strategies(df)
         fp = plan_fingerprint(executed)
@@ -232,11 +277,13 @@ def label_query(spark: SparkSession, sql: str,
 
 def label_workload(spark: SparkSession, queries: list[tuple[str, str]],
                    strategies: tuple[str, ...] = HINT_STRATEGIES,
+                   timeout_s: float | None = None,
                    ) -> list[tuple[str, list[Candidate]]]:
     """Label a list of ``(qid, sql)`` — returns bundles in workload order.
     Sequential by design: each candidate must own the cluster while timed,
     concurrent labeling would corrupt the labels."""
-    return [(qid, label_query(spark, sql, strategies)) for qid, sql in queries]
+    return [(qid, label_query(spark, sql, strategies, timeout_s))
+            for qid, sql in queries]
 
 
 def bundles_to_lines(bundles: list[tuple[str, list["Candidate"]]]) -> list[str]:

@@ -115,6 +115,33 @@ def string_value_stats(df: DataFrame, columns: list[str] | None = None,
     return out
 
 
+def approx_column_cardinalities(df: DataFrame,
+                                columns: list[str] | None = None,
+                                rsd: float = 0.05) -> dict[str, int]:
+    """HLL-only cardinality harvest: ``{col: ndv_estimate}`` for every
+    requested column in ONE aggregate pass, with NO second pass ever.
+
+    This is the wide-table / 100 TB lane of the harvester: the
+    ``string_value_stats`` path follows its HLL gate with an exact
+    ``distinct().limit()`` or ``groupBy().count()`` read per listed
+    column — the right trade when value lists are needed, but a real
+    per-column table scan cost when all the planner wants is NDV. Here
+    the per-partition HLL±± sketches (``approx_count_distinct``, relative
+    standard deviation ``rsd``) merge in a partial+final aggregate: raw
+    rows never shuffle, the result is one row of longs, and the estimate
+    is deterministic for fixed data (hash-based sketch, no RNG).
+    Reference anchor: the exact ``COUNT(DISTINCT c)`` gate at
+    ``pg.py:124-128`` — same decision input, collapsed to sketch cost."""
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if isinstance(f.dataType, NUMERIC_TYPES + STRING_TYPES)]
+    if not columns:
+        return {}
+    row = df.agg(*[F.approx_count_distinct(c, rsd).alias(c)
+                   for c in columns]).collect()[0].asDict()
+    return {c: int(row[c]) for c in columns}
+
+
 def numeric_percentiles(df: DataFrame, columns: list[str] | None = None,
                         probs: tuple[float, ...] = (0.5, 0.9, 0.99),
                         approx: bool = False,
@@ -203,7 +230,8 @@ def _jsonable(v: Any) -> Any:
 
 
 __all__ = [
-    "epoch_seconds_view", "find_timestamp_columns", "harvest_range_dict",
-    "harvest_table_stats", "numeric_ranges", "read_infos",
+    "approx_column_cardinalities", "epoch_seconds_view",
+    "find_timestamp_columns", "harvest_range_dict", "harvest_table_stats",
+    "numeric_ranges", "numeric_percentiles", "read_infos",
     "string_value_stats", "write_infos",
 ]

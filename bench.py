@@ -77,6 +77,18 @@ HEADLINE = [
     "stats_topk_frequent_values",
     "stream_windowed_event_counts",
     "stream_sessionize_events",
+    # round-4 additions: CDC merge, range-frame window, arg-max agg,
+    # Q17 scalar subquery, substring decontamination, null/NDV harvest,
+    # triangle counting, per-group centroids
+    "upsert_snapshot_apply",
+    "window_rolling_7day_avg",
+    "latest_order_per_customer",
+    "scalar_subquery_small_qty",
+    "decontam_substring_containment",
+    "stats_null_profile",
+    "stats_column_cardinalities_approx",
+    "graph_triangle_count",
+    "embedding_lang_centroids",
 ]
 
 

@@ -79,3 +79,55 @@ def test_sample_balanced_per_lang_quota(spark):
     again = {(r["doc_id"], r["lang"])
              for r in QUERIES["sample_balanced_per_lang"](spark, SF_SMALL).collect()}
     assert {(r["doc_id"], r["lang"]) for r in rows} == again
+
+
+def test_decontam_substring_planted_contamination(spark, tmp_path):
+    """Planted-contamination check for the exact-containment rule: a doc
+    carrying an eval string VERBATIM is flagged; docs sharing all the
+    words without the contiguous string are not; the eval doc itself is
+    never flagged (registry-sweep parity covers the DuckDB oracle)."""
+    from active_query_optimizer_spark.operators.curation import \
+        DECONTAM_BENCH_MOD as M
+
+    evaltxt = "the quick brown fox jumps over the lazy dog benchmark item"
+    rows = [
+        (0 * M, evaltxt, "en", "eval", len(evaltxt)),            # bench doc
+        (1, "prefix words then " + evaltxt + " and a suffix",
+         "en", "src0", 0),                                       # planted
+        (2, "dog lazy the over jumps fox brown quick the item benchmark",
+         "en", "src0", 0),                                       # words only
+        (3, "completely unrelated content about query optimizers",
+         "en", "src1", 0),                                       # clean
+        (2 * M, "another eval document that nothing contains verbatim",
+         "en", "eval", 0),                                       # bench doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    sf = str(tmp_path / "sf_planted")
+    df.coalesce(1).write.parquet(sf + "/documents.parquet")
+
+    got = {(r["doc_id"], r["n_eval_hits"])
+           for r in QUERIES["decontam_substring_containment"](
+               spark, sf).collect()}
+    assert got == {(1, 1)}
+
+
+def test_decontam_substring_subsumes_exact_duplicates(spark):
+    """On the real corpus, every corpus doc whose text EQUALS a bench
+    doc's text must be containment-flagged (equality is containment) —
+    ties the new rule to the exact-dedup ground truth."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.operators.curation import \
+        DECONTAM_BENCH_MOD as M
+
+    d = load_table(spark, SF_SMALL, "documents")
+    bench = d.filter(F.col("doc_id") % M == 0).select(
+        F.col("text").alias("bt"))
+    equal_dups = {r["doc_id"] for r in
+                  d.filter(F.col("doc_id") % M != 0)
+                   .join(bench, F.col("text") == F.col("bt"), "left_semi")
+                   .collect()}
+    flagged = {r["doc_id"] for r in QUERIES[
+        "decontam_substring_containment"](spark, SF_SMALL).collect()}
+    assert equal_dups <= flagged

@@ -175,3 +175,33 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     plan = (back.filter(F.col("split") == "train")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan
+
+
+def test_optimizer_results_regenerate_sf001(spark, tmp_path):
+    """RESULTS.md regeneration at sf0.01: the end-to-end artifact pipeline
+    (generate -> explore/label -> train -> select -> deployment series)
+    must produce a coherent report — totals bracketed by the oracle
+    best/worst, loss in range, artifact + JSON sibling written."""
+    from active_query_optimizer_spark.evaluation.results import (
+        optimizer_results, write_results_md)
+
+    res = optimizer_results(spark, SF_SMALL, num_queries=6, epochs=8,
+                            seed=11, deployment_batches=2)
+    t = res["totals_sec"]
+    assert res["n_test"] >= 1 and res["n_train"] >= 1
+    assert t["best_possible"] <= t["chosen"] <= t["worst_case"]
+    assert t["best_possible"] <= t["default"] <= t["worst_case"]
+    assert 0.0 <= res["ranking_loss"] <= 2.0
+    for q in res["per_query"]:
+        assert q["best_ms"] <= q["chosen_ms"] <= q["worst_ms"]
+        assert q["n_candidates"] >= 2
+    assert res["deployment_latency_series"]
+
+    out = str(tmp_path / "RESULTS.md")
+    write_results_md(res, out)
+    text = open(out).read()
+    assert "learned ranker's choice" in text
+    assert str(t["chosen"]) in text
+    import json as _json
+    blob = _json.load(open(str(tmp_path / "RESULTS.json")))
+    assert blob["totals_sec"] == t

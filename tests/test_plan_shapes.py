@@ -32,6 +32,9 @@ NESTED_LOOP_BY_DESIGN = {
     # a cross join of two tiny GENERATED frames (thousands of rows),
     # never of scanned data
     "events_resample_hourly_gapfill",
+    # single-row × single-row result assembly: two scalar aggregates
+    # (edge count, triangle count) cross-joined into one output row
+    "graph_triangle_count",
 }
 
 

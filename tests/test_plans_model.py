@@ -345,3 +345,31 @@ def test_label_query_realized_strategies(spark):
             assert c.hint_realized is True, (c.variant, c.realized_joins)
         else:
             assert c.hint_realized is None
+
+
+def test_label_query_timeout_penalty(spark):
+    """A candidate that blows the labeling deadline is cancelled and
+    penalty-labeled (LABEL_TIMEOUT_PENALTY x timeout) instead of hanging
+    the loop — the explorer's wall clock must stay bounded even when a
+    hint degenerates a join into a near-cartesian plan."""
+    import time as _t
+
+    from active_query_optimizer_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    # no equi-condition -> a genuine THREE-way cartesian on lineitem
+    # (~1e11 tuples at sf0.001): hours unthrottled, so completing fast
+    # proves the cancel works
+    sql = ("SELECT COUNT(*) FROM lineitem a, lineitem b, lineitem c "
+           "WHERE a.l_quantity + b.l_quantity + c.l_quantity > 90")
+    t0 = _t.perf_counter()
+    labeled = EX.label_query(spark, sql, strategies=(), timeout_s=3.0)
+    wall = _t.perf_counter() - t0
+    assert labeled
+    penalty_ms = EX.LABEL_TIMEOUT_PENALTY * 3.0 * 1000.0
+    assert all(c.exec_time_ms == penalty_ms for c in labeled), (
+        [(c.variant, c.exec_time_ms) for c in labeled])
+    # bounded: variants x timeout plus planning slack
+    assert wall < 3.0 * len(labeled) + 60, wall
+    # and the session is still healthy for normal queries afterwards
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"] >= 0

@@ -268,3 +268,38 @@ def test_join_size_cm_sketch_bounds_exact(spark):
     c = load_table(spark, SF_SMALL, "customer").count()
     slack = 8 * o * c / CM_W        # 8x the expected collision mass
     assert est <= exact + max(slack, 1), (est, exact, slack)
+
+
+def test_approx_cardinalities_error_bound_and_determinism(spark):
+    """HLL-only harvester lane: every estimate within the sketch's error
+    envelope of the exact NDV (rsd=0.05 default; 5x rsd is a ~5-sigma
+    bound — deterministic sketch, so this is a fixed margin, not a flaky
+    statistical test), and bit-identical across runs."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.operators import QUERIES
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    approx = H.approx_column_cardinalities(cust)
+    assert approx  # numeric + string columns all covered, one pass
+    exact = cust.agg(*[F.countDistinct(c).alias(c) for c in approx]
+                     ).collect()[0].asDict()
+    for c, est in approx.items():
+        assert abs(est - exact[c]) <= max(2, 0.25 * exact[c]), (
+            c, est, exact[c])
+    # determinism: HLL++ is hash-based, no RNG
+    assert approx == H.approx_column_cardinalities(cust)
+
+    # the registry entry unpivots the same estimates to rows; spot-check
+    # it agrees with the harvester function and is run-to-run stable
+    reg = {(r["table_name"], r["column"]): r["ndv_approx"] for r in
+           QUERIES["stats_column_cardinalities_approx"](
+               spark, SF_SMALL).collect()}
+    assert reg
+    for c, est in approx.items():
+        if ("customer", c) in reg:
+            assert reg[("customer", c)] == est, c
+    reg2 = {(r["table_name"], r["column"]): r["ndv_approx"] for r in
+            QUERIES["stats_column_cardinalities_approx"](
+                spark, SF_SMALL).collect()}
+    assert reg == reg2

@@ -1,0 +1,36 @@
+"""Produce RESULTS.md / RESULTS.json — the end-to-end learned-optimizer
+headline (chosen-plan vs Spark-default latency + ranking loss) at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.1).
+
+Usage: ``python tools/make_results.py [num_queries] [epochs]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from active_query_optimizer_spark.evaluation.results import (  # noqa: E402
+    optimizer_results, write_results_md)
+from active_query_optimizer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    spark = get_spark("aqo-results")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = optimizer_results(spark, sf_dir, num_queries=num_queries,
+                            epochs=epochs)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "RESULTS.md")
+    write_results_md(res, out)
+    print(f"wrote {out}: totals={res['totals_sec']} "
+          f"loss={res['ranking_loss']}")
+
+
+if __name__ == "__main__":
+    main()
