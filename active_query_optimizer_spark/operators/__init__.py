@@ -53,13 +53,15 @@ _DRIVER_ORDER = [
     "min_projection_job_style", "groupby_having", "pred_null_checks",
     "pred_like", "case_when_bucket_agg", "pred_in", "pred_epoch_int",
     "count_min_multi_agg",
-    # --- round-4 additions: first driver rows (10; the HLL entry is
+    # --- round-4 additions: first driver rows (14; the HLL entry is
     #     rows-only — sketch estimates are engine-specific by design)
     "stats_column_cardinalities_approx", "decontam_substring_containment",
     "window_rolling_7day_avg", "latest_order_per_customer",
     "scalar_subquery_small_qty", "events_unpivot_daily",
     "stats_null_profile", "embedding_lang_centroids",
     "graph_triangle_count", "upsert_snapshot_apply",
+    "tpch_q10_returned_items", "events_first_touch",
+    "stats_price_deciles", "cluster_centroid_vectors",
     # --- source changed this round (PQ training collect capped) (1)
     "ann_ivf_pq_topk",
     # --- oldest r02-only entries re-greened (19)
@@ -69,11 +71,11 @@ _DRIVER_ORDER = [
     "text_token_stats", "text_bpe_token_count", "text_quality_scores",
     "text_langid", "text_fingerprint", "text_lang_summary",
     "text_pattern_flags", "text_top_terms",
-    "dedup_simhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     # ---------------- driver window boundary (50) ----------------
-    # --- r02-only entries that did not fit this round (25; their r02
+    # --- r02-only entries that did not fit this round (29; their r02
     #     rows are exactly two rounds old — first in line for round 5)
+    "dedup_simhash_pairs", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "ann_cosine_topk", "multimodal_bytes_features",
     "stats_numeric_ranges", "stats_topk_frequent_values",
     "stats_distinct_values", "stats_column_cardinalities",

@@ -258,3 +258,56 @@ def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day",
                     F.expr("substring(event_type, 3)").alias("event_type"),
                     F.col("cnt").cast("bigint")))
+
+
+@register(
+    "events_first_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ), firsts AS (
+      SELECT user_id, event_type, MIN(us) AS first_us
+      FROM ev GROUP BY user_id, event_type
+    )
+    SELECT e.user_id, e.event_type, f.first_us,
+           CAST(MIN(e.event_id) AS BIGINT) AS first_event_id
+    FROM ev e JOIN firsts f
+      ON e.user_id = f.user_id AND e.event_type = f.event_type
+     AND e.us = f.first_us
+    GROUP BY e.user_id, e.event_type, f.first_us
+    """,
+)
+def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch per (user, event_type) — the attribution/dedup anchor:
+    one row per key with the earliest event's time and id. This is the
+    BATCH ground truth for streaming deduplication
+    (``dropDuplicates`` on the key keeps stream-arrival-first; this op
+    defines event-time-first — the streaming test ties the two).
+
+    Tie discipline: timestamps are compared at MICROsecond precision
+    (both engines truncate nanos to micros identically), and same-micro
+    ties resolve to the smallest event id — a total order, so the pick
+    is engine-deterministic. Two aggregates sharing the (user, type)
+    shuffle key + one self-join on the min timestamp; at scale this is
+    the standard decorrelated argmin (a window-rank would sort every
+    partition instead)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ts arrives as TIMESTAMP_NTZ (or rebuilt micros from the nanos
+    # file); with the session pinned to UTC the cast is wall-clock
+    # identity, and unix_micros matches DuckDB's epoch_us truncation
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("us")))
+    firsts = (ev.groupBy("user_id", "event_type")
+              .agg(F.min("us").alias("first_us")))
+    e, f = ev.alias("e"), firsts.alias("f")
+    return (e.join(f, (F.col("e.user_id") == F.col("f.user_id"))
+                   & (F.col("e.event_type") == F.col("f.event_type"))
+                   & (F.col("e.us") == F.col("f.first_us")))
+            .groupBy(F.col("f.user_id").alias("user_id"),
+                     F.col("f.event_type").alias("event_type"),
+                     F.col("f.first_us").alias("first_us"))
+            .agg(F.min(F.col("e.event_id")).alias("first_event_id")))

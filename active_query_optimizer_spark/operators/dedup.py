@@ -747,3 +747,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     pairs.unpersist()
     return out
+
+
+def _cluster_centroid_oracle() -> str:
+    from .embedvec import DIM_Q
+
+    vq = (f"CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * {DIM_Q})"
+          " AS BIGINT)")
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % {SAMPLE_MOD} = 0 AND b.vec_id % {SAMPLE_MOD} = 0
+        AND {vec.cosine_sql('a.embedding', 'b.embedding')}
+            >= {COSINE_SAMPLED_THRESHOLD}
+    ), und AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ), reach(node, lab) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node
+    ), comp AS (
+      SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    ), members AS (
+      SELECT s.vec_id, COALESCE(c.cluster_id, s.vec_id) AS cluster_id
+      FROM (SELECT vec_id FROM embeddings
+            WHERE vec_id % {SAMPLE_MOD} = 0) s
+      LEFT JOIN comp c USING (vec_id)
+    )
+    SELECT m.cluster_id, t.i - 1 AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({vq}) // COUNT(*) AS BIGINT) AS centroid_q
+    FROM members m
+    JOIN embeddings e ON e.vec_id = m.vec_id,
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding)))
+                  AS i) t
+    GROUP BY m.cluster_id, dim
+    """
+
+
+@register("cluster_centroid_vectors", oracle=_cluster_centroid_oracle())
+def cluster_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid vectors over the semantic near-dup clusters —
+    the collapse step after clustering: each cluster's prototype vector
+    (for nearest-centroid routing of new documents, or as the retained
+    representative when members are dropped). Composes
+    ``dedup_embedding_clusters`` (cluster assignment, CC over the exact
+    sampled cosine graph) with the integer-centroid aggregation of
+    ``embedding_lang_centroids`` — and the ORACLE replays the whole
+    composition (recursive-CTE components + element sums) exactly.
+
+    Scale: cluster assignment is edge-bound (near-dup pairs), the
+    centroid aggregate is map-side-combined (cluster, dim) integer
+    partials; singleton clusters cost one row each — nothing in the
+    chain touches the full corpus more than once."""
+    from .embedvec import DIM_Q
+
+    members = dedup_embedding_clusters(spark, sf_dir).select(
+        "vec_id", "cluster_id")
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id").filter(
+        F.col("vec_id") % SAMPLE_MOD == 0)
+    vd = F.col("v").cast("double")
+    expl = (e.join(members, "vec_id")
+            .select("cluster_id", F.posexplode("embedding").alias("dim", "v"))
+            .select("cluster_id", "dim",
+                    F.floor(vd * DIM_Q).cast("bigint").alias("vq")))
+    return (expl.groupBy("cluster_id", "dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("sum(vq) div count(1)").cast("bigint")
+                  .alias("centroid_q")))

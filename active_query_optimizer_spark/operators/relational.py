@@ -1371,3 +1371,91 @@ def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_small"),
                  _dec_sum(F.col("l_extendedprice"), "revenue",
                           "decimal(24,8)")))
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, revenue FROM (
+      SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+             n.n_name AS n_name,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
+      FROM customer c, orders o, lineitem l, nation n
+      WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+        AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+    ) ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog (returned-item reporting): which customers
+    returned the most revenue in a quarter — c⋈o⋈l⋈n with a returnflag
+    filter on the fact, grouped decimal revenue, top-20. Complements
+    Q3/Q5 in the decision-support set: the grouping key is WIDE
+    (customer identity + nation name), the selective filter sits on the
+    FACT side (returnflag) rather than a dimension, and the top-k is
+    again TakeOrderedAndProject (per-partition k, no global sort).
+    Broadcast nation; date-bracketed orders prune row groups at the
+    scan."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1996-10-01 00:00:00").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                          "revenue", "decimal(24,8)"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+@register(
+    "stats_price_deciles",
+    oracle="""
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM (
+      SELECT NTILE(10) OVER (ORDER BY
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+               o_orderkey) AS decile,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ) GROUP BY decile
+    """,
+)
+def stats_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH price deciles via ``ntile(10)`` — the frequency-balanced
+    complement of ``stats_histogram_equiwidth`` (optimizer histograms come
+    in both flavors; equi-depth bounds per-bucket selectivity error where
+    equi-width bounds value resolution). The window order embeds the
+    unique orderkey so engines split ties identically; prices are integer
+    cents so bucket boundaries hash-match.
+
+    Scale: ntile needs a TOTAL order — this is the one registry entry
+    with a global sort, kept deliberately as the exact anchor. The 100 TB
+    path is ``percentile_approx``-derived boundaries (harvester sketch
+    lane) + a map-only bucket assignment; this op pins what those
+    boundaries approximate."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_orderkey").asc())
+    return (o.select("o_orderkey", cents.alias("cents"))
+            .withColumn("decile", F.ntile(10).over(w))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("cents").alias("lo_cents"),
+                 F.max("cents").alias("hi_cents")))

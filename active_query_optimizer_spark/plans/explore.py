@@ -42,6 +42,14 @@ HINT_STRATEGIES = ("BROADCAST", "MERGE", "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL")
 CONF_VARIANTS: tuple[tuple[str, dict[str, str]], ...] = (
     ("nobroadcast", {"spark.sql.autoBroadcastJoinThreshold": "-1"}),
     ("noaqe", {"spark.sql.adaptive.enabled": "false"}),
+    # runtime bloom-filter join pushdown off: Spark injects a bloom
+    # filter from the build side into the probe scan when stats look
+    # favorable — whether that wins is data-dependent, i.e. exactly the
+    # kind of knob a learned ranker should see both settings of. A query
+    # where the toggle doesn't change the plan dedups away by
+    # fingerprint, costing nothing.
+    ("nobloom", {"spark.sql.optimizer.runtime.bloomFilter.enabled":
+                 "false"}),
 )
 
 #: executed-plan join node names (raw Spark vocabulary, pre-PG-mapping)

@@ -89,6 +89,10 @@ HEADLINE = [
     "stats_column_cardinalities_approx",
     "graph_triangle_count",
     "embedding_lang_centroids",
+    "tpch_q10_returned_items",
+    "events_first_touch",
+    "stats_price_deciles",
+    "cluster_centroid_vectors",
 ]
 
 

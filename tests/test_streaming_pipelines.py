@@ -454,3 +454,34 @@ def test_anomaly_monitor_restart_resumes_history(spark, tmp_path):
         replica.observe(r["event_type"], r["day"], r["cnt"])
     assert mon2.flags == replica.flags
     assert mon2.moments == replica.moments
+
+
+def test_stream_dedup_matches_first_touch_keys(spark, tmp_path):
+    """Streaming deduplication: dropDuplicates on (user_id, event_type)
+    over the event stream keeps exactly one row per key, and the key set
+    equals the batch first-touch operator's — the streaming half of the
+    events_first_touch anchor (stream keeps arrival-first, batch defines
+    event-time-first; the KEY SETS must agree regardless)."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.operators import QUERIES
+
+    batch = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "ev_dedup")
+    batch.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    q = (stream.dropDuplicates(["user_id", "event_type"])
+         .select("user_id", "event_type")
+         .writeStream.format("memory").queryName("deduped")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = [(r["user_id"], r["event_type"])
+           for r in spark.sql("SELECT * FROM deduped").collect()]
+    assert len(got) == len(set(got)), "stream emitted duplicate keys"
+    expect = {(r["user_id"], r["event_type"])
+              for r in QUERIES["events_first_touch"](
+                  spark, SF_SMALL).collect()}
+    assert set(got) == expect and expect
