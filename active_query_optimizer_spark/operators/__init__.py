@@ -53,7 +53,7 @@ _DRIVER_ORDER = [
     "min_projection_job_style", "groupby_having", "pred_null_checks",
     "pred_like", "case_when_bucket_agg", "pred_in", "pred_epoch_int",
     "count_min_multi_agg",
-    # --- round-4 additions: first driver rows (14; the HLL entry is
+    # --- round-4 additions: first driver rows (17; the HLL entry is
     #     rows-only — sketch estimates are engine-specific by design)
     "stats_column_cardinalities_approx", "decontam_substring_containment",
     "window_rolling_7day_avg", "latest_order_per_customer",
@@ -62,18 +62,23 @@ _DRIVER_ORDER = [
     "graph_triangle_count", "upsert_snapshot_apply",
     "tpch_q10_returned_items", "events_first_touch",
     "stats_price_deciles", "cluster_centroid_vectors",
-    # --- source changed this round (PQ training collect capped) (1)
+    "tpch_q7_nation_volume", "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_share",
+    # --- source changed this round: PQ training collect capped; the CC /
+    #     PageRank family gained the size-adaptive local fast path (4)
     "ann_ivf_pq_topk",
+    "dedup_minhash_clusters", "dedup_embedding_clusters",
+    "docrank_neardup_pagerank",
     # --- oldest r02-only entries re-greened (19)
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
     "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
     "hypertable_rollup_daily",
-    "text_token_stats", "text_bpe_token_count", "text_quality_scores",
-    "text_langid", "text_fingerprint", "text_lang_summary",
-    "text_pattern_flags", "text_top_terms",
+    "text_token_stats", "text_quality_scores",
     # ---------------- driver window boundary (50) ----------------
-    # --- r02-only entries that did not fit this round (29; their r02
+    # --- r02-only entries that did not fit this round (35; their r02
     #     rows are exactly two rounds old — first in line for round 5)
+    "text_bpe_token_count", "text_langid", "text_fingerprint",
+    "text_lang_summary", "text_pattern_flags", "text_top_terms",
     "dedup_simhash_pairs", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "ann_cosine_topk", "multimodal_bytes_features",
@@ -96,14 +101,14 @@ _DRIVER_ORDER = [
     "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
     "multimodal_feature_extract", "multimodal_resize_grid",
     "multimodal_frame_sample",
-    "dedup_fingerprint_survivors", "dedup_minhash_clusters",
+    "dedup_fingerprint_survivors",
     "decontam_ngram_overlap",
     "quality_repetition_rules", "pii_flag_docs", "split_assign_hash",
     "seq_length_histogram", "tfidf_top_terms_per_source",
     "embedding_norm_histogram",
     "stream_conversion_attribution",
     "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
-    "quality_token_freq_score", "dedup_embedding_clusters",
+    "quality_token_freq_score",
     "cross_source_overlap", "stats_length_percentiles",
     "embedding_quantize_int8", "embedding_dim_stats", "embedding_gram_upper",
     "embedding_pca_project",
@@ -114,7 +119,7 @@ _DRIVER_ORDER = [
     "stats_join_size_exact", "stats_join_size_cm_sketch",
     "stats_key_skew_profile", "join_bloom_prefilter_count",
     "events_pivot_daily", "events_resample_hourly_gapfill",
-    "embedding_outlier_flags", "docrank_neardup_pagerank",
+    "embedding_outlier_flags",
 ]
 
 

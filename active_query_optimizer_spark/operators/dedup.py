@@ -332,12 +332,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: truncate label lineage every N propagation rounds (plan grows ~3×/round)
 _CC_CHECKPOINT_INTERVAL = 4
+#: graphs at or below this many (symmetrized) edges resolve driver-side:
+#: 400k edge rows = ~6 MB of longs — far under any driver budget, while
+#: the distributed loop's per-round fixed cost (O(log d) rounds x several
+#: stages each) is pure overhead at this size. Near-dup graphs are edge-
+#: bound, not corpus-bound, so even 100 TB corpora often land here; the
+#: loop below is the general path when they don't.
+CC_LOCAL_MAX_EDGES = 400_000
+#: target edges per shuffle partition inside the distributed loop —
+#: per-round state is (node, label) pairs bounded by edges, so a fixed
+#: session-wide partition count (32+) just fragments tiny rounds into
+#: tiny tasks; the loop re-derives its own count from the measured edge
+#: size (never above the session setting)
+_CC_EDGES_PER_PARTITION = 100_000
+
+
+def _cc_local(und_rows, node_rows, node_col: str,
+              spark: SparkSession) -> DataFrame:
+    """Driver-side union-find (path-halving) over a bounded edge list —
+    produces EXACTLY the distributed loop's output: every node labeled
+    with the smallest reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])  # halve
+            r = parent[r]
+        return r
+
+    for u, v in und_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:  # min-id root keeps labels = min reachable id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(n, find(n)) for n in node_rows]
+    return spark.createDataFrame(
+        out, f"{node_col} bigint, cluster_id bigint")
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          node_col: str = "doc_id",
                          max_iters: int = 50,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         local_max_edges: int = CC_LOCAL_MAX_EDGES,
+                         ) -> DataFrame:
     """Min-label propagation with pointer jumping: every node ends with the
     smallest node id reachable from it (= component id).
 
@@ -363,24 +403,59 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
       iterations, so static planning loses nothing; the conf is saved and
       restored around the loop only (the caller's pipeline keeps AQE).
 
+    Size-adaptive execution (round-4 fix — the loop's per-round fixed
+    cost, several stages of session-wide shuffle-partition tasks, was
+    ~3 s/round on a 148-edge graph, 11 rounds = 33 s of pure overhead):
+
+    - **edge count ≤ ``local_max_edges``** → driver-side union-find over
+      the collected edge list (a few MB of longs), identical output.
+      Near-dup graphs are edge-bound, not corpus-bound, so this is the
+      common case at ANY corpus scale; pass ``local_max_edges=0`` to
+      force the distributed loop (the deep-chain test does).
+    - otherwise the loop's shuffle-partition count is derived from the
+      measured edge count (``_CC_EDGES_PER_PARTITION`` per partition,
+      never above the session setting) — per-round state is bounded by
+      edges, so the session-wide count only fragments rounds into
+      empty tasks.
+
     ``stats["iterations"]`` reports the executed round count when a dict is
-    passed (the deep-chain regression test pins the O(log n) behavior)."""
+    passed (the deep-chain regression test pins the O(log n) behavior);
+    ``stats["mode"]`` records ``local`` / ``loop``."""
     a, b = F.col("src"), F.col("dst")
     # persist the symmetrized edge list: every iteration joins against it,
     # and its lineage may be an entire LSH pipeline (dedup_minhash_clusters)
     # that must not re-execute once per round
     und = (edges.select(a.alias("u"), b.alias("v"))
            .union(edges.select(b.alias("u"), a.alias("v")))).persist()
+    spark = edges.sparkSession
+    n_edges = und.count()  # materializes the cache (first action anyway)
+    if n_edges <= local_max_edges:
+        n_nodes = nodes.count()
+        if n_nodes <= 2 * max(local_max_edges, 1):
+            und_rows = [(r["u"], r["v"]) for r in und.collect()]
+            node_rows = [r[node_col] for r in nodes.collect()]
+            und.unpersist()
+            if stats is not None:
+                stats["iterations"] = 0
+                stats["mode"] = "local"
+            return _cc_local(und_rows, node_rows, node_col, spark)
+    if stats is not None:
+        stats["mode"] = "loop"
     labels = nodes.select(F.col(node_col).alias("u"),
                           F.col(node_col).alias("label"))
-    spark = edges.sparkSession
     aqe_key = "spark.sql.adaptive.enabled"
+    sp_key = "spark.sql.shuffle.partitions"
     aqe_saved = spark.conf.get(aqe_key, "true")
+    sp_saved = spark.conf.get(sp_key, "32")
+    loop_parts = max(4, min(int(sp_saved),
+                            n_edges // _CC_EDGES_PER_PARTITION + 1))
     spark.conf.set(aqe_key, "false")
+    spark.conf.set(sp_key, str(loop_parts))
     try:
         return _cc_loop(und, labels, node_col, max_iters, stats)
     finally:
         spark.conf.set(aqe_key, aqe_saved)
+        spark.conf.set(sp_key, sp_saved)
 
 
 def _cc_loop(und: DataFrame, labels: DataFrame, node_col: str,
@@ -654,7 +729,9 @@ def _pagerank_oracle() -> str:
 
 
 @register("docrank_neardup_pagerank", oracle=_pagerank_oracle())
-def docrank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docrank_neardup_pagerank(spark: SparkSession, sf_dir: str,
+                             local_max_edges: int = CC_LOCAL_MAX_EDGES,
+                             ) -> DataFrame:
     """PageRank over the verified near-duplicate graph — ranks documents
     by how centrally they sit in duplicate clusters (the doc to KEEP when
     a cluster collapses, and a boilerplate-detector signal: high-rank
@@ -672,7 +749,12 @@ def docrank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the corpus) is persisted with its degrees once; each iteration
     is one join + one aggregate on (node, rank) pairs, the same bounded
     shape as connected components, with a FIXED round count (no
-    convergence action)."""
+    convergence action). Size-adaptive like ``connected_components``:
+    an edge list at or under ``CC_LOCAL_MAX_EDGES`` replays the exact
+    integer trajectory driver-side (every update is integer `div`
+    arithmetic, so the local replica is bit-identical to the
+    distributed loop — pinned by test); larger graphs run the loop with
+    edge-count-derived shuffle partitions."""
     from pyspark import StorageLevel
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -683,18 +765,40 @@ def docrank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ed = (edges.join(deg, "u")
           .persist(StorageLevel.MEMORY_AND_DISK))
-    r = deg.select(F.col("u").alias("node"),
-                   F.lit(PR_SCALE).cast("bigint").alias("r"))
-    for _ in range(PR_ITERS):
-        r = (ed.join(r, ed.u == r.node)
-             .groupBy(F.col("v").alias("out_node"))
-             .agg(F.expr("150000 + (85 * sum(r div d)) div 100")
-                  .cast("bigint").alias("r"))
-             .select(F.col("out_node").alias("node"), "r"))
-    out = r.select(F.col("node").alias("doc_id"),
-                   F.col("r").alias("rank_q"))
-    # one action materializes the chain before the edge cache is released
-    out = out.localCheckpoint(eager=True)
+    n_edges = ed.count()  # materializes the cache either way
+    if n_edges <= local_max_edges:
+        rows = ed.collect()
+        ed.unpersist()
+        d = {}
+        for row in rows:
+            d[row["u"]] = row["d"]
+        r = {u: PR_SCALE for u in d}
+        for _ in range(PR_ITERS):
+            s: dict = {}
+            for row in rows:
+                s[row["v"]] = s.get(row["v"], 0) + r[row["u"]] // d[row["u"]]
+            r = {v: 150000 + (85 * sv) // 100 for v, sv in s.items()}
+        return spark.createDataFrame(
+            sorted(r.items()), "doc_id bigint, rank_q bigint")
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_saved = spark.conf.get(sp_key, "32")
+    spark.conf.set(sp_key, str(max(4, min(
+        int(sp_saved), n_edges // _CC_EDGES_PER_PARTITION + 1))))
+    try:
+        r = deg.select(F.col("u").alias("node"),
+                       F.lit(PR_SCALE).cast("bigint").alias("r"))
+        for _ in range(PR_ITERS):
+            r = (ed.join(r, ed.u == r.node)
+                 .groupBy(F.col("v").alias("out_node"))
+                 .agg(F.expr("150000 + (85 * sum(r div d)) div 100")
+                      .cast("bigint").alias("r"))
+                 .select(F.col("out_node").alias("node"), "r"))
+        out = r.select(F.col("node").alias("doc_id"),
+                       F.col("r").alias("rank_q"))
+        # one action materializes the chain before the cache is released
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(sp_key, sp_saved)
     ed.unpersist()
     return out
 

@@ -1459,3 +1459,139 @@ def stats_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("cents").alias("lo_cents"),
                  F.max("cents").alias("hi_cents")))
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, revenue FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
+      FROM supplier s, lineitem l, orders o, customer c,
+           nation n1, nation n2
+      WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+        AND c.c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      GROUP BY supp_nation, cust_nation, l_year
+    ) ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog (volume shipping): revenue between two named
+    nations per direction per ship-year. The structural interest is the
+    DOUBLE nation join (n1 via supplier, n2 via customer) with an OR of
+    cross pairs — a disjunctive join predicate over two broadcast dims
+    that a naive planner turns into a cross filter after a wide join;
+    here both nation joins broadcast and the OR collapses to a residual
+    filter on two tiny joined columns, so the fact table passes once."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"))
+    pair_ok = (((F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7"))
+               | ((F.col("supp_nation") == "NATION_7")
+                  & (F.col("cust_nation") == "NATION_3")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .filter(pair_ok)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                          "revenue", "decimal(24,8)"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (shipping-mode priority): per line status, how
+    many lineitems belong to high- vs low-priority orders — conditional
+    counting (SUM of CASE) across a join, the canonical "two measures,
+    one pass" aggregation. One big equi-join (date-pruned fact side) and
+    a grouped conditional aggregate; both measures come from the same
+    partial+final pass — never two scans."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+                  .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+                  .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(24,8))
+                    ELSE CAST(0 AS DECIMAL(24,8)) END), 2) AS DOUBLE)
+             AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(24,8))), 2) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog (promotion effect): promo-typed revenue and total
+    revenue for one month, from which the caller derives the promo share
+    (the RATIO is left to the consumer — a float division would break
+    the exact value-hash; the two decimal sums are the exact content).
+    Conditional decimal aggregation over a part join; the month filter
+    prunes the fact scan to ~1/80 of rows before the join."""
+    _utc(spark)
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    rev = (F.col("l_extendedprice")
+           * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(24,8)"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .agg(F.round(F.sum(promo), 2).cast("double")
+                  .alias("promo_revenue"),
+                 F.round(F.sum(rev), 2).cast("double")
+                  .alias("total_revenue")))

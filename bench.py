@@ -93,6 +93,9 @@ HEADLINE = [
     "events_first_touch",
     "stats_price_deciles",
     "cluster_centroid_vectors",
+    "tpch_q7_nation_volume",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_share",
 ]
 
 

@@ -186,10 +186,14 @@ def test_connected_components_deep_chain_converges_logarithmically(spark):
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     nodes = spark.range(n).select(F.col("id").alias("doc_id"))
     stats: dict = {}
-    comp = connected_components(edges, nodes, stats=stats)
+    # local_max_edges=0 forces the distributed loop (a 200-edge graph
+    # would otherwise take the driver-side union-find fast path)
+    comp = connected_components(edges, nodes, stats=stats,
+                                local_max_edges=0)
     rows = comp.collect()
     assert len(rows) == n
     assert all(r["cluster_id"] == 0 for r in rows)
+    assert stats["mode"] == "loop"
     # path halving: reach doubles per round; generous 3×log2(n)+3 bound
     # still far below the diameter bound of n-1
     assert stats["iterations"] <= 3 * math.ceil(math.log2(n)) + 3, (
@@ -336,3 +340,46 @@ def test_dedup_incremental_matches_batch_rerun(spark):
     f2_fps = {(r["a"], r["b"]) for r in fresh2.select(*fp).collect()}
     assert not (f2_fps & b1_fps)
     assert fresh1.count() > 0 and fresh2.count() >= 0
+
+
+def test_connected_components_local_fastpath_equals_loop(spark):
+    """The driver-side union-find fast path must produce EXACTLY the
+    distributed loop's labeling (min reachable id per node), including
+    isolated nodes, on an irregular multi-component graph."""
+    from active_query_optimizer_spark.operators.dedup import (
+        connected_components)
+
+    # chains, a star, a cycle, self-contained pairs + isolated nodes
+    raw = ([(i, i + 1) for i in range(0, 30)]            # chain 0..30
+           + [(100, j) for j in range(101, 110)]         # star at 100
+           + [(200, 201), (201, 202), (202, 200)]        # cycle
+           + [(300, 301), (302, 303)])                   # pairs
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in sorted({u for e in raw for u in e} | {400, 401})],
+        "doc_id bigint")
+    stats_a: dict = {}
+    stats_b: dict = {}
+    fast = {(r["doc_id"], r["cluster_id"]) for r in connected_components(
+        edges, nodes, stats=stats_a).collect()}
+    loop = {(r["doc_id"], r["cluster_id"]) for r in connected_components(
+        edges, nodes, stats=stats_b, local_max_edges=0).collect()}
+    assert stats_a["mode"] == "local" and stats_b["mode"] == "loop"
+    assert fast == loop
+    # spot semantics: isolated nodes label themselves; the star collapses
+    assert (400, 400) in fast and (101, 100) in fast
+
+
+def test_pagerank_local_replica_equals_loop(spark):
+    """Integer PageRank's driver-side fast path must be BIT-identical to
+    the distributed loop (every update is integer div arithmetic — no
+    float drift to hide behind)."""
+    from active_query_optimizer_spark.operators.dedup import (
+        docrank_neardup_pagerank)
+
+    fast = {(r["doc_id"], r["rank_q"]) for r in
+            docrank_neardup_pagerank(spark, SF_SMALL).collect()}
+    loop = {(r["doc_id"], r["rank_q"]) for r in
+            docrank_neardup_pagerank(spark, SF_SMALL,
+                                     local_max_edges=0).collect()}
+    assert fast == loop and fast

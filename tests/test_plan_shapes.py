@@ -112,3 +112,44 @@ def test_minhash_has_no_hardcoded_candidate_broadcast(spark):
 def test_decontam_broadcasts_benchmark_side(spark, name):
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_latest_order_is_aggregate_not_window(spark):
+    """max_by must plan as a partial+final hash aggregate — NO window
+    operator and NO sort: that's the whole point of the arg-max
+    aggregation over the window-rank idiom."""
+    plan = _plan(spark, "latest_order_per_customer")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "max_by" in plan
+
+
+def test_null_profile_single_scan_per_table(spark):
+    """The null profile reads each table ONCE (count buffers aggregate in
+    one pass; unpivot is an Expand over the single aggregate row), so the
+    plan has exactly one parquet scan per profiled table."""
+    plan = _plan(spark, "stats_null_profile")
+    import re
+    scans = re.findall(r"Scan parquet|FileScan parquet", plan)
+    assert len(scans) == 2, f"expected 2 scans, got {len(scans)}"
+    assert "Expand" in plan
+
+
+def test_upsert_merge_join_shapes(spark):
+    """CDC MERGE lowers to the expected relational steps: an anti join
+    (deletes) and a left outer join (updates) on the snapshot key, plus
+    a union for inserts."""
+    plan = _plan(spark, "upsert_snapshot_apply")
+    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan
+    assert "Union" in plan
+
+
+def test_rolling_window_is_single_exchange_range_frame(spark):
+    """The RANGE-frame rolling window plans as one hash exchange on the
+    partition key + an in-partition sort + a window — specifically a
+    RANGE frame (value-distance), not ROWS."""
+    plan = _plan(spark, "window_rolling_7day_avg")
+    assert "Window" in plan
+    assert "RangeFrame" in plan, "frame degraded to RowFrame"
+    assert plan.count("Exchange hashpartitioning") == 1

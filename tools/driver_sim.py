@@ -34,6 +34,7 @@ def canon(df):
     out = df.apply(lambda c: c.map(norm))
     return out.sort_values(by=list(out.columns), key=lambda s: s.map(repr)).reset_index(drop=True)
 bad = []
+status = {}
 for name in sorted(qs):
     sp = qs[name](spark, sf).toPandas()
     if name not in osql:
@@ -47,8 +48,10 @@ for name in sorted(qs):
         if nonscalar:
             print(f"  FAIL[rows-only non-scalar cols {nonscalar}] {name}")
             bad.append(name)
+            status[name] = f"FAIL:rows-only-nonscalar:{nonscalar}"
         else:
             print(f"  {name}: rows-only ({len(sp)})")
+            status[name] = f"rows-only:{len(sp)}"
         continue
     du = con.execute(osql[name]).fetchdf()
     ok = (sorted(sp.columns) == sorted(du.columns) and len(sp) == len(du))
@@ -66,5 +69,22 @@ for name in sorted(qs):
         ok = all(list(a[c]) == list(b[c]) for c in a.columns)
         if not ok: why = "values"
     print(("  OK  " if ok else f"  FAIL[{why}]") + f" {name}")
+    status[name] = f"ok:{len(sp)}" if ok else f"FAIL:{why}"
     if not ok: bad.append(name)
 print("FAILURES:", bad if bad else "none")
+# machine-readable sweep record (SWEEP_r{N}.json): one status per query,
+# keyed by the sweep's scale factor, merged into an existing file so the
+# sf0.01 and sf0.1 sweeps land side by side
+out_path = os.environ.get("SPARK_GRAFT_SWEEP_OUT")
+if out_path:
+    import json
+    sweep = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            sweep = json.load(fh)
+    key = os.path.basename(sf.rstrip("/"))
+    sweep[key] = {"queries": status, "n": len(status),
+                  "failures": bad}
+    with open(out_path, "w") as fh:
+        json.dump(sweep, fh, indent=1, sort_keys=True)
+    print(f"sweep written: {out_path} [{key}]")
