@@ -63,20 +63,20 @@ _DRIVER_ORDER = [
     "tpch_q10_returned_items", "events_first_touch",
     "stats_price_deciles", "cluster_centroid_vectors",
     "tpch_q7_nation_volume", "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_share",
+    "tpch_q14_promo_share", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_lapsed_high_balance",
     # --- source changed this round: PQ training collect capped; the CC /
     #     PageRank family gained the size-adaptive local fast path (4)
     "ann_ivf_pq_topk",
     "dedup_minhash_clusters", "dedup_embedding_clusters",
     "docrank_neardup_pagerank",
-    # --- oldest r02-only entries re-greened (19)
+    # --- oldest r02-only entries re-greened (6)
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
     "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
-    "hypertable_rollup_daily",
-    "text_token_stats", "text_quality_scores",
     # ---------------- driver window boundary (50) ----------------
-    # --- r02-only entries that did not fit this round (35; their r02
+    # --- r02-only entries that did not fit this round (38; their r02
     #     rows are exactly two rounds old — first in line for round 5)
+    "text_token_stats", "text_quality_scores", "hypertable_rollup_daily",
     "text_bpe_token_count", "text_langid", "text_fingerprint",
     "text_lang_summary", "text_pattern_flags", "text_top_terms",
     "dedup_simhash_pairs", "dedup_simhash",

@@ -1595,3 +1595,146 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("promo_revenue"),
                  F.round(F.sum(rev), 2).cast("double")
                   .alias("total_revenue")))
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS totalprice_cents,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, totalprice_cents
+    ORDER BY totalprice_cents DESC, o.o_orderkey ASC LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog (large-volume customers): orders whose total
+    quantity exceeds a bar, re-joined to their customers and lineitems —
+    the grouped-HAVING-feeding-IN shape: an aggregate produces the key
+    set that filters the SAME fact table's second pass. Catalyst plans
+    the IN as a left-semi join; both lineitem passes group/join on
+    l_orderkey, so one exchange family serves the aggregate, the semi
+    probe, and the final rollup. Integer quantities and cents keep every
+    value exact; top-100 by price is TakeOrderedAndProject."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+           .filter(F.col("sq") > 200).select("l_orderkey"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+    return (li.join(big, "l_orderkey", "left_semi")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "o_orderkey",
+                     cents.alias("totalprice_cents"))
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+            .orderBy(F.col("totalprice_cents").desc(),
+                     F.col("o_orderkey").asc())
+            .limit(100))
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey
+      AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+            AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+            AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+            AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30))
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog (discounted revenue): the disjunction-of-
+    conjunctions predicate spanning BOTH join sides — three
+    (brand, size-range, quantity-range) triples OR-ed together. The
+    optimizer-relevant property: the common `l_partkey = p_partkey`
+    conjunct must be factored OUT of the OR and drive the join, with the
+    triples as a residual filter — a planner that fails to factor runs a
+    cartesian. Per-side implied filters (brand IN (...), size <= 15)
+    push into the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity").cast("bigint")
+    triple = (((F.col("p_brand") == "Brand#12")
+               & F.col("p_size").between(1, 5) & q.between(1, 11))
+              | ((F.col("p_brand") == "Brand#23")
+                 & F.col("p_size").between(1, 10) & q.between(10, 20))
+              | ((F.col("p_brand") == "Brand#3")
+                 & F.col("p_size").between(1, 15) & q.between(20, 30)))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .filter(triple)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                          "revenue", "decimal(24,8)")))
+
+
+@register(
+    "tpch_q22_lapsed_high_balance",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cb
+      FROM customer
+    ), bar AS (
+      SELECT CAST(SUM(cb) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cents WHERE cb > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c.cb) AS BIGINT) AS sum_cents
+    FROM cents c, bar
+    WHERE c.cb * bar.n > bar.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_lapsed_high_balance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (global sales opportunity): above-average-balance
+    customers with no RECENT orders, summarized per nation — the
+    scalar-aggregate-subquery + correlated NOT EXISTS combination. The
+    average bar is cross-multiplied to integer cents
+    (``cb * n > sum``): a floating AVG threshold is summation-order-
+    dependent and can flip boundary customers between engines — the
+    integer form cannot. The NOT EXISTS is an anti join against the
+    date-filtered orders slice (filter pushed below the anti join); the
+    single-row bar broadcast is the same scalar-frame pattern as
+    ``sample_weighted_mix``."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)")
+         .alias("cb"))
+    bar = (c.filter(F.col("cb") > 0)
+           .agg(F.sum("cb").cast("bigint").alias("s"),
+                F.count(F.lit(1)).alias("n")))
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("1998-01-01 00:00:00").cast("timestamp")).select(
+        F.col("o_custkey").alias("c_custkey"))
+    return (c.crossJoin(F.broadcast(bar))
+            .filter(F.col("cb") * F.col("n") > F.col("s"))
+            .join(recent, "c_custkey", "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum("cb").cast("bigint").alias("sum_cents")))

@@ -96,6 +96,9 @@ HEADLINE = [
     "tpch_q7_nation_volume",
     "tpch_q12_shipmode_priority",
     "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_lapsed_high_balance",
 ]
 
 

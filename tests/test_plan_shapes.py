@@ -35,6 +35,9 @@ NESTED_LOOP_BY_DESIGN = {
     # single-row × single-row result assembly: two scalar aggregates
     # (edge count, triangle count) cross-joined into one output row
     "graph_triangle_count",
+    # single-row global-average bar broadcast onto every customer row
+    # (the same scalar-frame pattern as sample_weighted_mix)
+    "tpch_q22_lapsed_high_balance",
 }
 
 
