@@ -18,7 +18,7 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
              "pipelineops", "streamops", "curation", "quality", "analytics",
-             "embedvec", "cdcops"):
+             "embedvec", "cdcops", "decision"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover - partial checkout
@@ -70,10 +70,22 @@ _DRIVER_ORDER = [
     "ann_ivf_pq_topk",
     "dedup_minhash_clusters", "dedup_embedding_clusters",
     "docrank_neardup_pagerank",
-    # --- oldest r02-only entries re-greened (6)
+    # --- round-4b additions (decision-support set II): the six most
+    #     structurally novel get their first driver row now (6)
+    "tpch_q21_waiting_supplier", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q2_min_cost_supplier",
+    "tpch_q16_supplier_variety", "tpch_q8_market_share",
+    # ---------------- driver window boundary (50) ----------------
+    # --- remaining round-4b additions (no driver row yet — first in
+    #     line for round 5 alongside the r02-only block below)
+    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit", "tpch_q20_promo_volume_suppliers",
+    "text_edit_distance_pairs", "stats_median_disc_per_group",
+    "sample_stratified_proportional",
+    # --- r02-only entries displaced by the round-4b in-window block
+    #     (their r02 rows stand; re-verified by SWEEP_r4.json)
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
     "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
-    # ---------------- driver window boundary (50) ----------------
     # --- r02-only entries that did not fit this round (38; their r02
     #     rows are exactly two rounds old — first in line for round 5)
     "text_token_stats", "text_quality_scores", "hypertable_rollup_daily",

@@ -345,3 +345,47 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     < F.col("keep_lt"))
             .select("doc_id", "source",
                     F.col("keep_lt").cast("bigint").alias("keep_lt")))
+
+
+@register(
+    "sample_stratified_proportional",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}, doc_id
+             ) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+      FROM documents
+    ) WHERE rk * 10 <= cnt + 9
+    """,
+)
+def sample_stratified_proportional(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """PROPORTIONAL stratified sampling: a ⌈10%⌉ slice of every source,
+    quota derived from the stratum's own size — the complement of
+    ``sample_balanced_per_lang``'s fixed cap (that one EQUALIZES strata;
+    this one PRESERVES the mixture, the standard held-out-split recipe
+    when the eval set must mirror the corpus composition). Selection is
+    the same deterministic Lehmer rank, so the sample is reproducible
+    under any partitioning; the ceiling quota guarantees ≥1 doc from
+    every stratum. The quota bar is cross-multiplied to integers
+    (``rk*10 <= cnt+9`` ⇔ rk ≤ ⌈cnt/10⌉) — no division on either
+    engine.
+
+    Scale: rank and stratum count come from the SAME window partition —
+    one exchange on `source`, no quota side-table join. A stratum too
+    big for one partition's sort takes the threshold route instead:
+    pick the k-th smallest hash per stratum from the harvester's
+    percentile sketch and filter ``pseudokey <= threshold`` map-only;
+    this entry is that route's exact anchor."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    pk = (F.col("doc_id") * SAMPLE_MULT) % SAMPLE_MOD
+    w = Window.partitionBy("source")
+    wo = w.orderBy(pk.asc(), F.col("doc_id").asc())
+    return (d.select("doc_id", "source")
+            .withColumn("rk", F.row_number().over(wo))
+            .withColumn("cnt", F.count(F.lit(1)).over(w).cast("bigint"))
+            .where(F.col("rk") * 10 <= F.col("cnt") + 9)
+            .select("doc_id", "source"))

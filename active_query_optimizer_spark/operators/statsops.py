@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .registry import register
@@ -476,3 +477,50 @@ def stats_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("table_name", "column")
+
+
+@register(
+    "stats_median_disc_per_group",
+    oracle="""
+    SELECT o_orderpriority, cents AS median_cents, n FROM (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT), o_orderkey) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n
+      FROM orders
+    ) WHERE rk * 2 = n + (n % 2)
+    """,
+)
+def stats_median_disc_per_group(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exact DISCRETE median per group (percentile_disc(0.5) semantics):
+    the order-price cents value at rank ⌈n/2⌉ within each priority
+    class. Interpolating medians (Spark ``percentile``, DuckDB
+    ``median``) average the two middle values with engine-specific
+    float paths; the discrete median is a VALUE FROM THE DATA, selected
+    by integer rank — exact on any engine, which is why optimizer stats
+    pipelines (and this registry) prefer it. The rank bar is the
+    cross-multiplied form ``rk*2 == n + n%2`` (⇔ rk == ⌈n/2⌉) so no
+    engine divides; orderkey breaks price ties deterministically.
+
+    Scale: one hash exchange on the (bounded-cardinality) group key,
+    per-group sort. For groups too large to sort, the approx path is
+    the harvester's ``percentile_approx`` lane; this op is its exact
+    anchor, same as ``stats_price_deciles`` for ntile bucketing."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+    w = Window.partitionBy("o_orderpriority")
+    wo = w.orderBy(F.col("cents").asc(), F.col("o_orderkey").asc())
+    return (o.select("o_orderpriority", "o_orderkey",
+                     cents.alias("cents"))
+            .withColumn("rk", F.row_number().over(wo))
+            .withColumn("n", F.count(F.lit(1)).over(w).cast("bigint"))
+            .where(F.col("rk") * 2 == F.col("n") + F.col("n") % 2)
+            .select("o_orderpriority",
+                    F.col("cents").alias("median_cents"), "n"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_for_compute, load_table
 from ..functions import texttools as tt
@@ -236,3 +237,43 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "term")
         .limit(20)
     )
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle="""
+    SELECT doc_id, prev_doc_id, lang,
+           levenshtein(pfx, prev_pfx) AS edit_dist
+    FROM (
+      SELECT doc_id, lang, substr(text, 1, 40) AS pfx,
+             LAG(doc_id) OVER w AS prev_doc_id,
+             LAG(substr(text, 1, 40)) OVER w AS prev_pfx
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    ) WHERE prev_doc_id IS NOT NULL
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between neighbouring documents: levenshtein over the
+    40-char prefixes of id-adjacent docs within a language — the
+    string-similarity primitive the fuzzy-dedup family lacks (MinHash/
+    SimHash are set/bit similarities; Levenshtein is the *sequence*
+    one, the verify step of OCR/scrape near-dup pipelines). Spark and
+    DuckDB implement the same plain Levenshtein (pinned by a semantics
+    test), and the pairing is a lag window — exactly ONE candidate per
+    row, so the quadratic all-pairs trap never appears.
+
+    Scale: one shuffle to (lang, doc_id)-sort; levenshtein on bounded
+    40-char prefixes is O(1600) per row JVM-side. The general-corpus
+    path pairs within LSH buckets instead of id-adjacency (see
+    ``dedup_minhash_lsh``); this entry pins the distance function and
+    the lag-pairing shape with an exact oracle."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pfx = F.substring("text", 1, 40)
+    return (d.select("doc_id", "lang", pfx.alias("pfx"),
+                     F.lag("doc_id").over(w).alias("prev_doc_id"),
+                     F.lag(pfx).over(w).alias("prev_pfx"))
+            .where(F.col("prev_doc_id").isNotNull())
+            .select("doc_id", "prev_doc_id", "lang",
+                    F.levenshtein("pfx", "prev_pfx").alias("edit_dist")))

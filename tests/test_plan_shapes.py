@@ -38,6 +38,9 @@ NESTED_LOOP_BY_DESIGN = {
     # single-row global-average bar broadcast onto every customer row
     # (the same scalar-frame pattern as sample_weighted_mix)
     "tpch_q22_lapsed_high_balance",
+    # single-row global-MAX frame broadcast onto the per-supplier revenue
+    # aggregate (Q15's scalar subquery over its own view)
+    "tpch_q15_top_supplier",
 }
 
 
