@@ -59,3 +59,28 @@ def selection_report(df: DataFrame, qid_col: str = "qid",
     out = {r[qid_col]: r[truth_col] / 1000.0 for r in chosen}
     out["sum"] = sum(out.values())
     return out
+
+
+def weighted_ranking_loss(df: DataFrame, qid_col: str = "qid",
+                          pred_col: str = "score",
+                          truth_col: str = "exec_time_ms") -> float:
+    """1 − candidate-count-weighted mean Spearman: each query group
+    contributes in proportion to ``n_candidates − 1`` (its number of
+    independent pairwise comparisons), so a 7-candidate query — where
+    ranking is genuinely harder and the signal richer — outweighs a
+    2-candidate coin flip instead of counting the same. The unweighted
+    ``ranking_loss`` replicates the reference's equal-weight mean
+    (``lero_test.py:115-155``); this is the refinement for workloads
+    with heterogeneous candidate counts (Spark's hint explorer yields
+    2–7 per query, where the reference's PG explorer pinned ~3).
+    Degenerate (constant-side) groups are skipped, as in the reference.
+    """
+    per_q = spearman_by_group(df, qid_col, pred_col, truth_col)
+    sizes = (df.groupBy(qid_col)
+             .agg((F.count(F.lit(1)) - 1).cast("double").alias("__w")))
+    row = (per_q.join(sizes, qid_col)
+           .where(F.col("spearman").isNotNull() & (F.col("__w") > 0))
+           .agg((F.sum(F.col("spearman") * F.col("__w"))
+                 / F.sum("__w")).alias("wrho")).collect()[0])
+    rho = row["wrho"]
+    return 1.0 - (rho if rho is not None else 0.0)

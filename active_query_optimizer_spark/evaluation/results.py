@@ -33,7 +33,7 @@ from ..model.lero import train_pairwise_from_bundles
 from ..plans.explore import HINT_STRATEGIES, Candidate, label_query
 from ..stats.harvester import harvest_range_dict
 from ..workload.generate import generate_workload
-from .metrics import ranking_loss
+from .metrics import ranking_loss, weighted_ranking_loss
 
 
 #: per-candidate labeling deadline (sec): a pathological variant (e.g. a
@@ -95,9 +95,12 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         "qid string, candidate_idx int, plan_json string, exec_time_ms double")
     scored = score_plans(df, model).cache()
     loss = ranking_loss(scored)
+    wloss = weighted_ranking_loss(scored)
     picked = {r["qid"]: r["candidate_idx"]
               for r in choose_best(scored).collect()}
     scored.unpersist()
+
+    from ..workload.extract import extract_aliases
 
     per_query = []
     for qid, cands in test:
@@ -106,6 +109,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         per_query.append({
             "qid": qid,
             "n_candidates": len(cands),
+            "n_tables": len(extract_aliases(cands[0].sql)),
             "default_ms": next(float(c.exec_time_ms) for c in cands
                                if c.variant == "default"),
             "chosen_ms": times[ci],
@@ -113,6 +117,20 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             "best_ms": min(times),
             "worst_ms": max(times),
         })
+
+    # per-shape breakdown: the generator's template dimension is the join
+    # width (reference workloads group by table count, create_sql.py's
+    # weights [1,7,7,7,7,7] over 2-7 joins) — report where the ranker's
+    # wins concentrate
+    by_shape: dict[int, dict[str, Any]] = {}
+    for q in per_query:
+        s = by_shape.setdefault(q["n_tables"], {
+            "n_queries": 0, "default_sec": 0.0, "chosen_sec": 0.0,
+            "best_sec": 0.0})
+        s["n_queries"] += 1
+        s["default_sec"] = round(s["default_sec"] + q["default_ms"] / 1e3, 4)
+        s["chosen_sec"] = round(s["chosen_sec"] + q["chosen_ms"] / 1e3, 4)
+        s["best_sec"] = round(s["best_sec"] + q["best_ms"] / 1e3, 4)
 
     # deployment series: the SAME explorer labels sliced into the
     # reference's per-batch train/valid splits (one train + one valid
@@ -148,6 +166,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             "worst_case": tot("worst_ms"),
         },
         "ranking_loss": round(loss, 4),
+        "ranking_loss_weighted": round(wloss, 4),
+        "by_shape": {str(k): v for k, v in sorted(by_shape.items())},
         "deployment_latency_series": [round(x, 4) for x in
                                       deployment["latency_series"]],
         "deployment_loss_series": [round(x, 4) for x in
@@ -181,20 +201,34 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
         f"| worst candidate | {t['worst_case']} |",
         "",
         f"Spearman ranking loss (1 - mean rho) on test: "
-        f"**{res['ranking_loss']}**",
+        f"**{res['ranking_loss']}** (candidate-count-weighted: "
+        f"{res.get('ranking_loss_weighted', 'n/a')})",
         "",
         "## Per-query (held-out)",
         "",
-        "| qid | candidates | default ms | chosen ms | chosen variant | "
-        "best ms | worst ms |",
-        "|---|---|---|---|---|---|---|",
+        "| qid | tables | candidates | default ms | chosen ms | "
+        "chosen variant | best ms | worst ms |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for q in res["per_query"]:
         lines.append(
-            f"| {q['qid']} | {q['n_candidates']} | "
+            f"| {q['qid']} | {q.get('n_tables', '?')} | "
+            f"{q['n_candidates']} | "
             f"{q['default_ms']:.1f} | {q['chosen_ms']:.1f} | "
             f"{q['chosen_variant']} | {q['best_ms']:.1f} | "
             f"{q['worst_ms']:.1f} |")
+    if res.get("by_shape"):
+        lines += [
+            "",
+            "## By join width (held-out totals, sec)",
+            "",
+            "| tables joined | queries | default | chosen | oracle best |",
+            "|---|---|---|---|---|",
+        ]
+        for k, s in res["by_shape"].items():
+            lines.append(
+                f"| {k} | {s['n_queries']} | {s['default_sec']} | "
+                f"{s['chosen_sec']} | {s['best_sec']} |")
     lines += [
         "",
         "## Deployment series (reference `deployment.py` loop)",

@@ -99,6 +99,21 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_lapsed_high_balance",
+    # round-4b additions: decision-support set II + stratified sampling,
+    # discrete medians, levenshtein neighbour pairs
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_promo_volume_suppliers",
+    "tpch_q21_waiting_supplier",
+    "sample_stratified_proportional",
+    "stats_median_disc_per_group",
+    "text_edit_distance_pairs",
 ]
 
 

@@ -71,6 +71,19 @@ def test_ranking_loss_perfect_and_inverted(spark):
     assert M.ranking_loss(inv) == pytest.approx(2.0)       # fully inverted
 
 
+def test_weighted_ranking_loss_weights_by_pair_count(spark):
+    """Candidate-count weighting: a perfectly-ranked 2-candidate group
+    (1 comparison) and a fully-inverted 5-candidate group (4 comparisons)
+    → weighted rho = (1·1 + (−1)·4)/5 = −0.6, loss 1.6; the unweighted
+    mean would say 1.0."""
+    rows = [("qa", 0, 0.0, 1.0), ("qa", 1, 1.0, 2.0)]
+    rows += [("qb", i, float(-i), float(i * 10 + 1)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "qid string, candidate_idx int, score double, exec_time_ms double")
+    assert M.ranking_loss(df) == pytest.approx(1.0)
+    assert M.weighted_ranking_loss(df) == pytest.approx(1.6)
+
+
 def test_ranking_loss_skips_constant_groups(spark):
     rows = [("q0", 0, 1.0, 1.0), ("q0", 1, 1.0, 2.0),  # constant scores → rank by idx
             ("q1", 0, 1.0, 5.0), ("q1", 1, 2.0, 9.0)]

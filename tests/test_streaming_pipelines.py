@@ -485,3 +485,44 @@ def test_stream_dedup_matches_first_touch_keys(spark, tmp_path):
               for r in QUERIES["events_first_touch"](
                   spark, SF_SMALL).collect()}
     assert set(got) == expect and expect
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the SCALE-correct streaming dedup —
+    plain dropDuplicates keeps every key in the state store forever (state
+    grows with distinct keys — unbounded on an infinite stream), while the
+    within-watermark variant evicts state once the event-time watermark
+    passes a key's horizon, so state is bounded by the watermark window's
+    key arrival rate. Single-source-file run (one micro-batch, watermark
+    starts at 0 ⇒ nothing evicted yet) must therefore agree exactly with
+    batch-distinct keys; the value of the operator is the eviction
+    contract this test documents, pinned here via the API + plan wiring.
+    """
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.streaming.windowed import (
+        ensure_event_time)
+
+    batch = ensure_event_time(load_table(spark, SF_SMALL, "events"))
+    src = str(tmp_path / "ev_wm_dedup")
+    # ONE file -> ONE deterministic micro-batch under availableNow
+    batch.coalesce(1).write.parquet(src)
+    stream = ensure_event_time(
+        spark.readStream.schema(batch.schema).parquet(src))
+
+    q = (stream
+         .withWatermark("ts", "1 hour")
+         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+         .select("user_id", "event_type")
+         .writeStream.format("memory").queryName("wm_deduped")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_wm_dedup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = [(r["user_id"], r["event_type"])
+           for r in spark.sql("SELECT * FROM wm_deduped").collect()]
+    assert len(got) == len(set(got)), "duplicate keys within one batch"
+    expect = {(r["user_id"], r["event_type"])
+              for r in batch.select("user_id", "event_type")
+                            .distinct().collect()}
+    assert set(got) == expect and expect
