@@ -81,7 +81,8 @@ _DRIVER_ORDER = [
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q9_product_profit", "tpch_q20_promo_volume_suppliers",
     "text_edit_distance_pairs", "stats_median_disc_per_group",
-    "sample_stratified_proportional",
+    "sample_stratified_proportional", "order_gap_stats_per_customer",
+    "events_trailing_7d_active_users", "window_dense_rank_ties",
     # --- r02-only entries displaced by the round-4b in-window block
     #     (their r02 rows stand; re-verified by SWEEP_r4.json)
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .registry import register
@@ -311,3 +312,104 @@ def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("f.event_type").alias("event_type"),
                      F.col("f.first_us").alias("first_us"))
             .agg(F.min(F.col("e.event_id")).alias("first_event_id")))
+
+
+@register(
+    "order_gap_stats_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_days
+    FROM (
+      SELECT o_custkey,
+             date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    )
+    GROUP BY o_custkey HAVING COUNT(*) >= 2
+    """,
+)
+def order_gap_stats_per_customer(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Inter-arrival gap analysis: per customer, the extremes of the
+    day-gaps between consecutive orders — the windows-THEN-aggregate
+    shape (lag inside a window, grouped HAVING outside) the registry's
+    other window entries don't cover, and the classic churn/recency
+    signal (max gap = longest dormancy; min gap = tightest burst).
+    Timestamps are midnight-aligned so day arithmetic is exact integers
+    in both engines; the orderkey tie-break pins same-day order
+    sequences.
+
+    Scale: the window partitions by o_custkey and the aggregate groups
+    by the SAME key — one hash exchange serves both (Catalyst reuses
+    the window's partitioning for the groupBy), and only
+    (custkey, gap-int) pairs survive the window projection. Per-customer
+    order counts are bounded (TPC-H ~10); a pathological key would
+    bound via the same salting documented in skew_salted_join_count."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.to_date("o_orderdate"),
+                     F.to_date(F.lag("o_orderdate").over(w)))
+    return (o.select("o_custkey", gap.alias("gap"))
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.max("gap").cast("bigint").alias("max_gap_days"),
+                 F.min("gap").cast("bigint").alias("min_gap_days"))
+            .filter(F.col("n_orders") >= 2))
+
+
+@register(
+    "events_trailing_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+             date_diff('day', DATE '1995-01-01', date_trunc('day', ts))
+               AS day_num,
+             user_id
+      FROM events
+    ), spine AS (SELECT DISTINCT day_num FROM du)
+    SELECT s.day_num,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_7d,
+           CAST(COUNT(DISTINCT CASE WHEN d.day_num = s.day_num
+                                    THEN d.user_id END) AS BIGINT)
+             AS active_1d
+    FROM spine s JOIN du d
+      ON d.day_num BETWEEN s.day_num - 6 AND s.day_num
+    GROUP BY s.day_num
+    """,
+)
+def events_trailing_7d_active_users(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the "7DAU" telemetry rollup):
+    a SLIDING-window DISTINCT count — the aggregation windows can't
+    express (no COUNT(DISTINCT) over moving frames in either engine), so
+    the exact form is the two-step reduction: collapse events to
+    distinct (day, user) pairs first, then fan each pair out to the ≤7
+    window anchors via a broadcast interval join against the tiny
+    observed-day spine, and count distinct per anchor day. Same-day
+    actives ride along as a conditional distinct in the same pass.
+
+    Scale: the heavy dedup (events → day×user) is ONE exact shuffle that
+    shrinks 100 TB of events to |days|×|users| keys at most; the 7×
+    fan-out happens on the collapsed pairs, never raw events, and the
+    spine broadcast is bounded by the calendar. At larger windows (or
+    per-key sketch reuse) the approximate path merges per-day HLL
+    sketches instead of re-counting — `stats_column_cardinalities_approx`
+    is that lane's anchor; this entry is the exact one."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(
+        F.datediff(F.to_date(F.date_trunc("day", "ts")),
+                   F.lit("1995-01-01").cast("date")).alias("day_num"),
+        "user_id").distinct())
+    spine = du.select(F.col("day_num").alias("anchor")).distinct()
+    return (du.join(F.broadcast(spine),
+                    F.col("day_num").between(F.col("anchor") - 6,
+                                             F.col("anchor")))
+            .groupBy(F.col("anchor").alias("day_num"))
+            .agg(F.countDistinct("user_id").alias("active_7d"),
+                 F.countDistinct(
+                     F.when(F.col("day_num") == F.col("anchor"),
+                            F.col("user_id"))).alias("active_1d")))

@@ -1738,3 +1738,43 @@ def tpch_q22_lapsed_high_balance(spark: SparkSession,
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("n_cust"),
                  F.sum("cb").cast("bigint").alias("sum_cents")))
+
+
+@register(
+    "window_dense_rank_ties",
+    oracle="""
+    SELECT l_linestatus, qty, rk, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+             DENSE_RANK() OVER (PARTITION BY l_linestatus
+                                ORDER BY CAST(l_quantity AS BIGINT) DESC)
+               AS rk
+      FROM lineitem
+    ) WHERE rk <= 2
+    GROUP BY l_linestatus, qty, rk
+    """,
+)
+def window_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK with ties — the VALUE-ranked complement of
+    ``window_topk_per_group``'s ROW_NUMBER: "all lines at the two highest
+    quantity levels per line status" keeps every tied row and no rank
+    gaps, where row_number would arbitrarily truncate ties and rank would
+    skip levels. The tied rows are aggregated to (status, qty, rank,
+    count) so the result is compact and the tie semantics — the entire
+    point of the operator — are what the oracle hash checks.
+
+    Scale: one exchange on the (tiny-cardinality) partition key; the
+    post-window aggregate groups on the same partitioning so no second
+    wide shuffle. Heavy tie degeneracy (here: ~1/50th of each partition
+    shares each quantity level) is exactly the case where row_number's
+    arbitrary truncation silently loses data — the reason this variant
+    exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    return (li.select("l_linestatus", qty.alias("qty"))
+            .withColumn("rk", F.dense_rank().over(
+                Window.partitionBy("l_linestatus")
+                      .orderBy(F.col("qty").desc())))
+            .filter(F.col("rk") <= 2)
+            .groupBy("l_linestatus", "qty", "rk")
+            .agg(F.count(F.lit(1)).alias("n_lines")))

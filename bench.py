@@ -114,6 +114,9 @@ HEADLINE = [
     "sample_stratified_proportional",
     "stats_median_disc_per_group",
     "text_edit_distance_pairs",
+    "order_gap_stats_per_customer",
+    "events_trailing_7d_active_users",
+    "window_dense_rank_ties",
 ]
 
 

@@ -41,6 +41,10 @@ NESTED_LOOP_BY_DESIGN = {
     # single-row global-MAX frame broadcast onto the per-supplier revenue
     # aggregate (Q15's scalar subquery over its own view)
     "tpch_q15_top_supplier",
+    # broadcast interval join of the tiny observed-day spine onto the
+    # collapsed (day, user) pairs — the ≤7× sliding-window fan-out, never
+    # a join of scanned fact data (same class as range_join_value_bands)
+    "events_trailing_7d_active_users",
 }
 
 
