@@ -553,3 +553,60 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
             .limit(20))
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l.l_partkey,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS part_cents
+      FROM lineitem l, supplier s, nation n
+      WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        AND n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    ), total AS (
+      SELECT SUM(part_cents) AS total_cents FROM part_rev
+    )
+    SELECT p.l_partkey AS p_partkey,
+           CAST(p.part_cents AS BIGINT) AS part_cents
+    FROM part_rev p, total t
+    WHERE p.part_cents * 1000 > t.total_cents
+    ORDER BY part_cents DESC, p_partkey ASC
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock identification): the parts that
+    individually account for more than 0.1% of one nation's total part
+    value. No ``partsupp`` → "stock value" is the summed extended price
+    (integer cents) of the nation's shipped lines; the SHAPE — a grouped
+    aggregate filtered by a HAVING bar that is itself a scalar aggregate
+    over the SAME grouped frame — is Q11's contribution and survives
+    intact. Completes the 22-query decision-support sweep (Q1 ≡
+    ``pricing_summary``; every other number has an analog entry).
+
+    The fraction bar is cross-multiplied to integers
+    (``part_cents * 1000 > total_cents``) so neither engine divides;
+    the single-row total broadcasts onto the per-part frame (the same
+    scalar-frame pattern as Q15/Q22). One exchange: the nation filter
+    semi-joins (broadcast) before the only wide shuffle on l_partkey;
+    the total re-aggregates the already-grouped frame, not the fact."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7")
+    nat_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .select("s_suppkey"))
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = (li.join(F.broadcast(nat_supp),
+                        li.l_suppkey == nat_supp.s_suppkey, "left_semi")
+                .groupBy("l_partkey")
+                .agg(F.sum(F.expr(
+                    "cast(cast(l_extendedprice as decimal(18,2)) * 100 "
+                    "as bigint)")).alias("part_cents")))
+    total = part_rev.agg(F.sum("part_cents").alias("total_cents"))
+    return (part_rev.crossJoin(F.broadcast(total))
+            .filter(F.col("part_cents") * 1000 > F.col("total_cents"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("part_cents").cast("bigint").alias("part_cents"))
+            .orderBy(F.col("part_cents").desc(), F.col("p_partkey").asc()))

@@ -117,6 +117,7 @@ HEADLINE = [
     "order_gap_stats_per_customer",
     "events_trailing_7d_active_users",
     "window_dense_rank_ties",
+    "tpch_q11_important_parts",
 ]
 
 

@@ -49,6 +49,30 @@ def test_q20_prefix_like_pushed_to_scan(spark):
     assert "StartsWith" in plan, plan[:2000]
 
 
+def test_q8_dimension_joins_all_broadcast(spark):
+    """Q8 joins eight tables; every dimension (part semi, nation x2,
+    region semi, supplier) must be on a broadcast build side so the fact
+    flows through one chain — at least four broadcast joins, and never a
+    shuffled join against nation/region (bounded dims)."""
+    df = QUERIES["tpch_q8_market_share"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+
+
+def test_q21_single_orderkey_exchange_family(spark):
+    """Q21's decorrelated form keys BOTH aggregates and the re-join on
+    l_orderkey — the physical plan must not hash-partition the fact on
+    any other join key (the textbook 3-self-join form would)."""
+    import re
+
+    df = QUERIES["tpch_q21_waiting_supplier"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lead_keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    # every fact-side exchange leads with l_orderkey; the only other
+    # partitioning is the final tiny supplier-side grouping
+    assert lead_keys <= {"l_orderkey", "s_suppkey"}, (lead_keys, plan[:2000])
+
+
 def test_q15_keeps_all_max_ties(spark):
     """Q15's selection is revenue == MAX(revenue) over EXACT decimals —
     every supplier at the max must survive (no arbitrary top-1). Verify

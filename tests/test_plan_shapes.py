@@ -45,6 +45,9 @@ NESTED_LOOP_BY_DESIGN = {
     # collapsed (day, user) pairs — the ≤7× sliding-window fan-out, never
     # a join of scanned fact data (same class as range_join_value_bands)
     "events_trailing_7d_active_users",
+    # single-row grand-total frame broadcast onto the per-part aggregate
+    # (Q11's HAVING-against-scalar-subquery bar)
+    "tpch_q11_important_parts",
 }
 
 
