@@ -83,7 +83,7 @@ _DRIVER_ORDER = [
     "text_edit_distance_pairs", "stats_median_disc_per_group",
     "sample_stratified_proportional", "order_gap_stats_per_customer",
     "events_trailing_7d_active_users", "window_dense_rank_ties",
-    "tpch_q11_important_parts",
+    "tpch_q11_important_parts", "full_outer_reconciliation",
     # --- r02-only entries displaced by the round-4b in-window block
     #     (their r02 rows stand; re-verified by SWEEP_r4.json)
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",

@@ -1778,3 +1778,66 @@ def window_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 2)
             .groupBy("l_linestatus", "qty", "rk")
             .agg(F.count(F.lit(1)).alias("n_lines")))
+
+
+@register(
+    "full_outer_reconciliation",
+    oracle="""
+    WITH early AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_early
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    ), late AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_late
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT CASE WHEN e.o_custkey IS NULL THEN 'late_only'
+                WHEN l.o_custkey IS NULL THEN 'early_only'
+                ELSE 'both' END AS presence,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(COALESCE(e.n_early, 0)) AS BIGINT) AS orders_early,
+           CAST(SUM(COALESCE(l.n_late, 0)) AS BIGINT) AS orders_late
+    FROM early e FULL OUTER JOIN late l ON e.o_custkey = l.o_custkey
+    GROUP BY presence
+    """,
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type the inventory's outer/semi/
+    anti entries didn't yet pin: reconciling two period snapshots of
+    per-customer order counts, classifying every key as present in both,
+    the early period only, or the late period only (the dataset-diff /
+    snapshot-reconciliation primitive; in CDC terms the key-presence
+    matrix behind insert/update/delete classification, complementing
+    ``upsert_snapshot_apply`` which APPLIES a known batch). Null-side
+    detection must use the join KEYS (a null aggregate value could not
+    distinguish "absent" from a null measure); counts coalesce to 0 so
+    the totals stay exact.
+
+    Scale: both inputs pre-aggregate (map-side combined) BEFORE the
+    join, so the full outer joins two already-small per-key frames on
+    the same o_custkey partitioning their groupBys produced — one
+    exchange family; raw orders rows never cross the join. A full outer
+    can never broadcast (both sides must be null-producing), so
+    co-partitioning is the only scale lever — and it's free here."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    early = (o.filter(F.col("o_orderdate") < cut)
+             .groupBy(F.col("o_custkey").alias("e_key"))
+             .agg(F.count(F.lit(1)).alias("n_early")))
+    late = (o.filter(F.col("o_orderdate") >= cut)
+            .groupBy(F.col("o_custkey").alias("l_key"))
+            .agg(F.count(F.lit(1)).alias("n_late")))
+    presence = (F.when(F.col("e_key").isNull(), "late_only")
+                .when(F.col("l_key").isNull(), "early_only")
+                .otherwise("both"))
+    return (early.join(late, early.e_key == late.l_key, "full_outer")
+            .groupBy(presence.alias("presence"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.coalesce("n_early", F.lit(0))).cast("bigint")
+                  .alias("orders_early"),
+                 F.sum(F.coalesce("n_late", F.lit(0))).cast("bigint")
+                  .alias("orders_late")))

@@ -118,6 +118,7 @@ HEADLINE = [
     "events_trailing_7d_active_users",
     "window_dense_rank_ties",
     "tpch_q11_important_parts",
+    "full_outer_reconciliation",
 ]
 
 
