@@ -816,6 +816,88 @@ def _triangle_oracle() -> str:
     """
 
 
+def _local_triangle_count(edges: list[tuple[int, int]]) -> int:
+    """Driver-side replica of the degree-ordered count: orient each edge
+    at its higher-(degree, id) endpoint, then sum |out(u) ∩ out(v)| over
+    oriented edges (u, v) — each triangle counted once at its ≺-minimum
+    vertex. Bit-identical to the distributed path (equality test)."""
+    from collections import Counter, defaultdict
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+
+    def key(x: int) -> tuple[int, int]:
+        return (deg[x], x)
+
+    out: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        lo, hi = (u, v) if key(u) < key(v) else (v, u)
+        out[lo].add(hi)
+    empty: set[int] = set()
+    return sum(len(out[u] & out.get(v, empty))
+               for u, nbrs in out.items() for v in nbrs)
+
+
+def _oriented_triangle_count(pairs: DataFrame,
+                             local_max_edges: int = CC_LOCAL_MAX_EDGES,
+                             stats: dict | None = None) -> DataFrame:
+    """Degree-ordered triangle counting (the MapReduce-era standard —
+    Suri & Vassilvitskii's "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): orient each undirected edge from its lower
+    (degree, id) endpoint to the higher, enumerate out-out wedges at the
+    LOW vertex, and close them against oriented edges. Out-degree under
+    this orientation is O(√m) for any node regardless of raw degree, so
+    a celebrity node with 10⁶ neighbours produces √-bounded wedges
+    instead of 10¹² — the id-ordered form's failure mode on skewed
+    graphs. Each triangle is counted exactly once (its unique
+    ≺-minimum vertex anchors the wedge).
+
+    Size-adaptive like ``connected_components``: near-dup graphs are
+    edge-bound, not corpus-bound, so an edge list at or under
+    ``local_max_edges`` (collect is a few MB of longs) is counted
+    driver-side by the identical algorithm — the distributed form's
+    five-join DAG costs seconds of fixed overhead that dwarfs such
+    graphs (measured ~5 s vs ~0.3 s at sf0.1's 256 edges). Pass
+    ``local_max_edges=0`` to force the distributed path (tests do).
+
+    ``pairs``: unique undirected edges (a < b). Returns a single-row
+    frame ``n_triangles``."""
+    spark = pairs.sparkSession
+    if pairs.count() <= local_max_edges:
+        edges = [(r["a"], r["b"]) for r in pairs.collect()]
+        if stats is not None:
+            stats["mode"] = "local"
+        return spark.createDataFrame(
+            [(_local_triangle_count(edges),)], "n_triangles bigint")
+    if stats is not None:
+        stats["mode"] = "distributed"
+    sym = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(pairs.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orientation key: degree first, id as tiebreak — attach to both ends
+    with_d = (sym.join(deg, "u")
+              .select("u", "v", F.col("d").alias("du")))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    e = (with_d.join(dv, "v")
+         .where((F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+         .select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                 F.col("dv").alias("dst_d")))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    lex_lt = ((F.col("e1.dst_d") < F.col("e2.dst_d"))
+              | ((F.col("e1.dst_d") == F.col("e2.dst_d"))
+                 & (F.col("e1.dst") < F.col("e2.dst"))))
+    wedges = (e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & lex_lt)
+              .select(F.col("e1.dst").alias("wa"),
+                      F.col("e2.dst").alias("wb")))
+    closer = e.select(F.col("src").alias("wa"), F.col("dst").alias("wb"))
+    return (wedges.join(closer, ["wa", "wb"])
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
 @register("graph_triangle_count", oracle=_triangle_oracle())
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the verified near-duplicate graph — the
@@ -824,27 +906,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     where sparse chains are drift sequences — a different dedup-policy
     signal than PageRank's hubs. Same pair source as
     ``docrank_neardup_pagerank``; the oracle replays it over the
-    exact-Jaccard pair set.
+    exact-Jaccard pair set with the simple id-ordered join — the count
+    is orientation-invariant, so the oracle pins the DEGREE-ORDERED
+    production path (``_oriented_triangle_count``) against the textbook
+    formulation (an id-ordered-vs-degree-ordered equality test pins it
+    again on the same graph).
 
-    Exact and counted once per triangle: edges are kept in id order
-    (a < b from the pair join), so a triangle {x<y<z} appears exactly as
-    (x,y)+(y,z) closed by (x,z) — two joins, no post-dedup, no 6x
-    overcount. Scale: the near-dup edge list is orders of magnitude
-    smaller than the corpus; both joins shuffle on single node keys. For
-    skewed degree distributions the standard upgrade is degree-ordered
-    orientation (point each edge at the higher-degree endpoint) which
-    bounds any node's out-wedges — unnecessary while the graph stays
-    near-dup-sparse."""
+    Scale: the near-dup edge list is orders of magnitude smaller than
+    the corpus, and the degree orientation bounds every node's out-wedge
+    count by O(√m) — the id-ordered form instead explodes on whichever
+    endpoint of a hub edge happens to sort first (the "last reducer"
+    skew). All joins shuffle on single node keys."""
     pairs = (dedup_minhash_lsh(spark, sf_dir)
              .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
              .persist())
-    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"),
-                      F.lit(1).alias("closed"))
-    tri = (e1.join(e2, "y")
-           .join(e3, ["x", "z"])
-           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    tri = _oriented_triangle_count(pairs)
     out = (pairs.agg(F.count(F.lit(1)).alias("n_edges"))
            .crossJoin(tri)
            .select("n_edges", "n_triangles")

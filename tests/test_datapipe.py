@@ -383,3 +383,48 @@ def test_pagerank_local_replica_equals_loop(spark):
             docrank_neardup_pagerank(spark, SF_SMALL,
                                      local_max_edges=0).collect()}
     assert fast == loop and fast
+
+
+def test_triangle_count_degree_orientation_invariance(spark):
+    """The degree-ordered production path must count exactly the same
+    triangles as the textbook id-ordered formulation — on a synthetic
+    graph with a hub (the skew case the orientation exists for) and on
+    the real near-dup graph the registry entry runs over."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.operators.dedup import (
+        _oriented_triangle_count, dedup_minhash_lsh)
+
+    # hub node 0 with satellites; triangles {0,1,2} and {2,3,4} only
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (2, 4),
+             (0, 5), (0, 6), (0, 7), (0, 8)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    stats: dict = {}
+    got = _oriented_triangle_count(
+        pairs, stats=stats).collect()[0]["n_triangles"]
+    assert got == 2 and stats["mode"] == "local"
+    stats = {}
+    dist = _oriented_triangle_count(
+        pairs, local_max_edges=0, stats=stats).collect()[0]["n_triangles"]
+    assert dist == 2 and stats["mode"] == "distributed"
+
+    def id_ordered(p):
+        e1 = p.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = p.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = p.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        return (e1.join(e2, "y").join(e3, ["x", "z"])
+                .agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
+
+    assert id_ordered(pairs) == 2
+
+    real = (dedup_minhash_lsh(spark, SF_SMALL)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .persist())
+    try:
+        want = id_ordered(real)
+        assert (_oriented_triangle_count(real)
+                .collect()[0]["n_triangles"] == want)
+        assert (_oriented_triangle_count(real, local_max_edges=0)
+                .collect()[0]["n_triangles"] == want)
+    finally:
+        real.unpersist()
