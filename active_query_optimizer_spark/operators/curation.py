@@ -389,3 +389,140 @@ def sample_stratified_proportional(spark: SparkSession,
             .withColumn("cnt", F.count(F.lit(1)).over(w).cast("bigint"))
             .where(F.col("rk") * 10 <= F.col("cnt") + 9)
             .select("doc_id", "source"))
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (sliding token windows with overlap)
+# ---------------------------------------------------------------------------
+
+#: chunk width (tokens) and stride: 50% overlap, the standard sliding
+#: context-window recipe for long-document pretraining / retrieval indexing
+CHUNK_C = 32
+CHUNK_S = 16
+
+
+def _chunk_oracle() -> str:
+    c, s = CHUNK_C, CHUNK_S
+    k = f"(1 + (greatest(len(th) - {c}, 0) + {s - 1}) // {s})"
+    fold = (f"list_reduce(list_prepend(0::BIGINT, th[s*{s}+1 : s*{s}+{c}]), "
+            f"(acc, h) -> (acc * 31 + h) % {tt.HASH_P})")
+    return f"""
+    WITH th AS (
+      SELECT doc_id, {tt.token_hashes_sql(tt.tokens_sql('text'))} AS th
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(range(0, {k})) AS chunk_id,
+           unnest([least({c}, len(th) - s*{s}) for s in range(0, {k})])
+             AS n_chunk_tokens,
+           unnest([{fold} for s in range(0, {k})]) AS chunk_hash
+    FROM th
+    """
+
+
+@register("text_chunk_overlap", oracle=_chunk_oracle())
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-context-window chunking: split every document into
+    ``CHUNK_C``-token windows advancing by ``CHUNK_S`` (50% overlap) — the
+    example-construction step between curation and training (and the unit
+    of retrieval indexing). Emits one row per (doc, chunk) with the
+    chunk's token count and a fold hash of its token-hash slice, so the
+    expansion is oracle-checkable without moving text.
+
+    Chunk count is ``1 + ceil(max(n-C, 0)/S)`` in pure integer arithmetic
+    (the final partial window is kept — training consumers pad it); a
+    document shorter than one window yields exactly its own single chunk.
+
+    Scale: map-only — tokenize, fold each window, explode; no shuffle at
+    all (the output inherits the scan partitioning). The overlap factor
+    C/S bounds output rows at ~2x the token count regardless of document
+    skew, and chunk hashes are computed from the already-materialized
+    token-hash array (each token hashed once, not once per window)."""
+    c, s = CHUNK_C, CHUNK_S
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    th = tt.token_hashes(tt.tokens(F.col("text")))
+    d = d.select("doc_id", th.alias("th"))
+    n = F.size("th")
+    k = (F.lit(1)
+         + F.floor((F.greatest(n - c, F.lit(0)) + (s - 1)) / s)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            F.least(F.lit(c), n - i * s).alias("n_chunk_tokens"),
+            F.aggregate(
+                F.slice("th", i * s + 1, F.lit(c)),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 31 + h) % tt.HASH_P)
+            .alias("chunk_hash")))
+    return (d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "ch"))
+            .select("doc_id", F.col("chunk_id").cast("bigint"),
+                    F.col("ch.n_chunk_tokens").cast("bigint")
+                     .alias("n_chunk_tokens"),
+                    F.col("ch.chunk_hash").alias("chunk_hash")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (multilingual alpha-sampling)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH wl AS (
+      SELECT lang, COUNT(*) AS n_l,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+      FROM documents GROUP BY lang
+    ), scal AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS wsum,
+             CAST(MIN(n_l * (SELECT SUM(w) FROM wl) // w) AS BIGINT)
+               AS t_total
+      FROM wl
+    ), rates AS (
+      SELECT lang,
+             LEAST({MIX_MOD},
+                   (w * t_total // wsum) * {MIX_MOD} // n_l) AS keep_lt
+      FROM wl, scal
+    )
+    SELECT d.doc_id, d.lang, CAST(r.keep_lt AS BIGINT) AS keep_lt
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id * {SAMPLE_MULT} + 13) % {MIX_MOD} < r.keep_lt
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (alpha = 0.5): resampling
+    weights DERIVED from the corpus itself — ``w_l = floor(sqrt(n_l))`` —
+    so dominant languages are down-weighted and tail languages up-weighted
+    toward ``p_l ∝ n_l^0.5``, the standard multilingual pretraining
+    recipe. The complement of ``sample_weighted_mix``'s static tier table:
+    same feasibility bound (``T = min_l n_l*W/w_l`` — the binding language
+    runs out first) and the same deterministic Lehmer-hash Bernoulli keep
+    rule, with the weights computed, not configured.
+
+    ``floor(sqrt(n))`` is engine-exact: IEEE-754 requires sqrt correctly
+    rounded, both engines evaluate it on the same integer-valued double,
+    and floor collapses the shared result to the same integer. Every
+    other step is integer arithmetic (``div``).
+
+    Scale: one map-side-combined count per language (tiny shuffle), two
+    broadcast-sized scalar frames (one row per language), then a map-only
+    keep filter over the corpus — row bodies never shuffle."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    wl = (d.groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("n_l"))
+          .withColumn("w", F.floor(F.sqrt(F.col("n_l").cast("double")))
+                           .cast("bigint")))
+    wsum = wl.agg(F.sum("w").cast("bigint").alias("wsum"))
+    feas = (wl.crossJoin(F.broadcast(wsum))
+            .agg(F.min(F.expr("n_l * wsum div w")).cast("bigint")
+                 .alias("t_total")))
+    rates = (wl.crossJoin(F.broadcast(wsum)).crossJoin(F.broadcast(feas))
+             .select("lang", F.least(
+                 F.lit(MIX_MOD),
+                 F.expr(f"(w * t_total div wsum) * {MIX_MOD} div n_l"))
+                 .alias("keep_lt")))
+    return (d.join(F.broadcast(rates), "lang")
+            .filter((F.col("doc_id") * SAMPLE_MULT + 13) % MIX_MOD
+                    < F.col("keep_lt"))
+            .select("doc_id", "lang",
+                    F.col("keep_lt").cast("bigint").alias("keep_lt")))

@@ -997,3 +997,104 @@ def cluster_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.expr("sum(vq) div count(1)").cast("bigint")
                   .alias("centroid_q")))
+
+
+# ---------------------------------------------------------------------------
+# Paragraph/span-level dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+#: tokens per dedup span: the synthetic corpus has no newline paragraph
+#: breaks, so a "paragraph" is a fixed window of SPAN_W consecutive tokens
+#: (the three-sentence-span analog of C4's line-level rule on prose)
+SPAN_W = 8
+#: champion key = doc_id * SPAN_KEY_MULT + span_idx. Span index is bounded
+#: by per-document length (corpus max ~10^2 spans, generator-bounded far
+#: below 10^6), and doc_id * 1e6 stays under int64 up to ~9e12 docs.
+SPAN_KEY_MULT = 1_000_000
+
+
+def _span_fold_sql(slice_expr: str) -> str:
+    """DuckDB fold of a token-hash slice into one span hash
+    (mirrors the Spark lambda in :func:`dedup_paragraph_spans`)."""
+    return (f"list_reduce(list_prepend(0::BIGINT, {slice_expr}), "
+            f"(acc, h) -> (acc * 31 + h) % {tt.HASH_P})")
+
+
+def _paragraph_oracle() -> str:
+    w = SPAN_W
+    nsp = f"(len(th) + {w - 1}) // {w}"
+    return f"""
+    WITH th AS (
+      SELECT doc_id, {tt.token_hashes_sql(tt.tokens_sql('text'))} AS th
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest(range(0, {nsp})) AS span_idx,
+             unnest([{_span_fold_sql(f'th[s*{w}+1 : s*{w}+{w}]')}
+                     for s in range(0, {nsp})]) AS h
+      FROM th
+    ), keyed AS (
+      SELECT doc_id, h, doc_id * {SPAN_KEY_MULT} + span_idx AS k FROM spans
+    ), win AS (
+      SELECT h, MIN(k) AS min_k FROM keyed GROUP BY h
+    )
+    SELECT keyed.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN keyed.k = win.min_k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keyed.k = win.min_k THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dup_spans
+    FROM keyed JOIN win USING (h)
+    GROUP BY keyed.doc_id
+    """
+
+
+@register("dedup_paragraph_spans", oracle=_paragraph_oracle())
+def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document (paragraph-level) dedup — the C4/RefinedWeb rule the
+    whole-document family above cannot express: a *span* that repeats
+    anywhere in the corpus is kept only at its first occurrence
+    (lowest ``doc_id * M + span_idx``), even when the surrounding
+    documents differ. Spans are fixed ``SPAN_W``-token windows of the
+    token-hash sequence, folded to one 31-bit polynomial hash each;
+    output is the per-document retention profile
+    ``(n_spans, n_kept, n_dup_spans)`` a curation pipeline uses to
+    rewrite or drop boilerplate-heavy documents.
+
+    Exact and totally ordered: the champion key embeds a unique
+    (doc, position) pair, so the winner of every span group is
+    engine-deterministic — this is the oracle-checkable anchor for the
+    production variant (same plan over xxhash64 span hashes).
+
+    Scale: text bodies never shuffle — after the map-side fold the moving
+    rows are ``(doc_id, span_idx, h)`` longs; one groupBy on the span hash
+    (min-combine collapses map-side), one hash join back on ``h``
+    (AQE-sized — span-hash NDV grows with the corpus, so no broadcast is
+    forced), one groupBy on ``doc_id``. Span skew (a boilerplate span
+    repeated 10^9 times) is bounded by the min-combine: each map partition
+    emits one candidate per span hash."""
+    w = SPAN_W
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    th = tt.token_hashes(tt.tokens(F.col("text")))
+    d = d.select("doc_id", th.alias("th"))
+    n = F.size("th")
+    n_spans = F.floor((n + (w - 1)) / w).cast("int")
+    span_hashes = F.when(n == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda s: F.aggregate(
+                F.slice("th", s * w + 1, F.lit(w)),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 31 + h) % tt.HASH_P)))
+    keyed = (d.select("doc_id",
+                      F.posexplode(span_hashes).alias("span_idx", "h"))
+             .select("doc_id", "h",
+                     (F.col("doc_id") * SPAN_KEY_MULT
+                      + F.col("span_idx")).alias("k")))
+    win = keyed.groupBy("h").agg(F.min("k").alias("min_k"))
+    kept = F.when(F.col("k") == F.col("min_k"), 1).otherwise(0)
+    return (keyed.join(win, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(kept).cast("bigint").alias("n_kept"),
+                 F.sum(1 - kept).cast("bigint").alias("n_dup_spans")))

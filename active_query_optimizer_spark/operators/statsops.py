@@ -524,3 +524,85 @@ def stats_median_disc_per_group(spark: SparkSession,
             .where(F.col("rk") * 2 == F.col("n") + F.col("n") % 2)
             .select("o_orderpriority",
                     F.col("cents").alias("median_cents"), "n"))
+
+
+@register(
+    "stats_corr_qty_discount",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS du
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(du) AS BIGINT) AS sum_d,
+           CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+           CAST(SUM(du * du) AS BIGINT) AS sum_d2,
+           CAST(SUM(q * du) AS BIGINT) AS sum_qd
+    FROM m GROUP BY l_returnflag
+    """,
+)
+def stats_corr_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-correlation harvest: per-group integer moment vectors
+    ``(n, Σq, Σd, Σq², Σd², Σqd)`` for (quantity, discount) — the
+    statistics a cost model needs to CHECK the attribute-independence
+    assumption (selectivity of conjunctive predicates) instead of
+    assuming it; the correlation coefficient is one driver-side formula
+    over the six sums, ``(n·Σqd − Σq·Σd) / √((n·Σq²−Σq²̂)(n·Σd²−Σd²̂))``.
+    Extends the reference's per-column range/NDV harvest (``pg.py:
+    112-156``) with the cross-column moment the optimizer literature
+    (e.g. CORDS-style correlation detection) derives selectivities from.
+
+    Both measures are fixed to small integers first (quantity is
+    integral-valued; discount snaps to percent units via
+    ``floor(v*100+0.5)`` — double multiply is correctly rounded
+    identically in the JVM and DuckDB), so every sum is exact and the
+    value-hash is engine-stable. Headroom: q ≤ 50, du ≤ 10 ⇒ Σq² ≤
+    2500·n — int64-safe beyond 10^14 rows.
+
+    Scale: ONE pass, partial+final HashAggregate on a 7-value key; the
+    shuffle carries seven moment rows per map partition. No joins, no
+    raw-row movement — the same plan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    du = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    return (li.select("l_returnflag", q.alias("q"), du.alias("du"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("q").alias("sum_q"),
+                 F.sum("du").alias("sum_d"),
+                 F.sum(F.col("q") * F.col("q")).alias("sum_q2"),
+                 F.sum(F.col("du") * F.col("du")).alias("sum_d2"),
+                 F.sum(F.col("q") * F.col("du")).alias("sum_qd")))
+
+
+@register("stats_length_percentiles_approx")  # rows-only: KLL/GK sketch
+# values are engine-specific by design (Spark's percentile_approx vs any
+# DuckDB sketch disagree on non-exact ranks); rank-error bound and
+# run-to-run determinism are pinned in tests
+def stats_length_percentiles_approx(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Sketch-lane percentiles: per-language p50/p90/p99 of document
+    length via ``percentile_approx`` (Greenwald-Khanna) — the 100 TB
+    companion of ``stats_length_percentiles`` exactly as
+    ``stats_column_cardinalities_approx`` is of the exact NDV harvest.
+    The exact form sorts every group member; the sketch form shuffles
+    one mergeable summary per (partition, group) and never materializes
+    the group. Returned values are actual data points (GK picks an
+    element within rank error n/accuracy), deterministic for fixed data.
+
+    The exact entry stays the correctness anchor: tests bound this
+    sketch's rank error against it and pin determinism across runs."""
+    d = load_table(spark, sf_dir, "documents")
+    pc = F.percentile_approx(
+        "n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(10_000))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"), pc.alias("pcs"))
+            .select("lang", "n_docs",
+                    F.col("pcs")[0].cast("bigint").alias("p50_chars"),
+                    F.col("pcs")[1].cast("bigint").alias("p90_chars"),
+                    F.col("pcs")[2].cast("bigint").alias("p99_chars")))

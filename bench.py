@@ -119,6 +119,13 @@ HEADLINE = [
     "window_dense_rank_ties",
     "tpch_q11_important_parts",
     "full_outer_reconciliation",
+    # round-4d additions: span-level dedup, context-window chunking,
+    # temperature mixture sampling, correlation harvest, sketch percentiles
+    "dedup_paragraph_spans",
+    "text_chunk_overlap",
+    "sample_temperature_mixture",
+    "stats_corr_qty_discount",
+    "stats_length_percentiles_approx",
 ]
 
 

@@ -131,3 +131,115 @@ def test_decontam_substring_subsumes_exact_duplicates(spark):
     flagged = {r["doc_id"] for r in QUERIES[
         "decontam_substring_containment"](spark, SF_SMALL).collect()}
     assert equal_dups <= flagged
+
+
+def test_paragraph_span_dedup_invariants(spark):
+    """Span-level dedup: per-doc counts partition (kept + dropped =
+    total), every distinct span hash is kept exactly once corpus-wide,
+    and the winner rule is deterministic across runs."""
+    from active_query_optimizer_spark.catalog import load_for_compute
+    from active_query_optimizer_spark.functions import texttools as tt
+    from active_query_optimizer_spark.operators.dedup import SPAN_W
+
+    rows = QUERIES["dedup_paragraph_spans"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] + r["n_dup_spans"] == r["n_spans"]
+        # n_kept == 0 is legitimate: a fully-duplicated document owns no
+        # first-seen span — that drop decision is the operator's point
+    # total kept == number of distinct span hashes in the corpus
+    d = load_for_compute(spark, SF_SMALL, "documents", "doc_id")
+    th = tt.token_hashes(tt.tokens(F.col("text")))
+    n_distinct = (d.select(th.alias("th"))
+                  .select(F.posexplode(
+                      F.transform(
+                          F.sequence(
+                              F.lit(0),
+                              (F.floor((F.size("th") + (SPAN_W - 1))
+                                       / SPAN_W)).cast("int") - 1),
+                          lambda s: F.aggregate(
+                              F.slice("th", s * SPAN_W + 1, F.lit(SPAN_W)),
+                              F.lit(0).cast("long"),
+                              lambda a, h: (a * 31 + h) % tt.HASH_P)))
+                      .alias("i", "h"))
+                  .select("h").distinct().count())
+    assert sum(r["n_kept"] for r in rows) == n_distinct
+    again = {(r["doc_id"], r["n_kept"])
+             for r in QUERIES["dedup_paragraph_spans"](spark,
+                                                       SF_SMALL).collect()}
+    assert {(r["doc_id"], r["n_kept"]) for r in rows} == again
+
+
+def test_chunk_overlap_counts_and_maponly_plan(spark):
+    """Sliding-window chunking: chunk count matches the closed form per
+    doc, the final chunk is the only short one, full chunks carry exactly
+    CHUNK_C tokens — and the plan has NO exchange (map-only explode)."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.functions import texttools as tt
+    from active_query_optimizer_spark.operators.curation import (
+        CHUNK_C, CHUNK_S)
+
+    df = QUERIES["text_chunk_overlap"](spark, SF_SMALL)
+    rows = df.collect()
+    n_tok = {r["doc_id"]: r["n"] for r in
+             load_table(spark, SF_SMALL, "documents")
+             .select("doc_id",
+                     F.size(tt.tokens(F.col("text"))).alias("n"))
+             .collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for doc_id, chunks in by_doc.items():
+        n = n_tok[doc_id]
+        expect_k = 1 + max(0, -(-(n - CHUNK_C) // CHUNK_S)) if n > CHUNK_C \
+            else 1
+        assert len(chunks) == expect_k, (doc_id, n, len(chunks))
+        chunks.sort(key=lambda r: r["chunk_id"])
+        for r in chunks[:-1]:
+            assert r["n_chunk_tokens"] == CHUNK_C
+        assert chunks[-1]["n_chunk_tokens"] == n - (expect_k - 1) * CHUNK_S
+    # map-only AFTER the load: the single Exchange is load_for_compute's
+    # deliberate input spread (REPARTITION_BY_NUM), never an algorithmic
+    # hash shuffle from an agg/join — the explode itself moves nothing
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    for line in final.splitlines():
+        if "Exchange" in line:
+            assert "REPARTITION_BY_NUM" in line, plan
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    """Alpha=0.5 temperature sampling must FLATTEN the language mix: the
+    kept-count ratio between the largest and smallest language is no
+    larger than the corpus ratio, kept counts stay within each stratum,
+    and the keep rule tracks the integer target within rounding slack."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.operators.curation import MIX_MOD
+
+    rows = QUERIES["sample_temperature_mixture"](spark, SF_SMALL).collect()
+    assert rows
+    kept: dict[str, int] = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    corpus = {r["lang"]: r["n"] for r in
+              load_table(spark, SF_SMALL, "documents")
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(kept) <= set(corpus)
+    for lang, k in kept.items():
+        assert k <= corpus[lang]
+    # flattening: kept share of the dominant language must not exceed its
+    # corpus share (sqrt weighting only ever shrinks the top)
+    big = max(corpus, key=corpus.get)
+    assert kept[big] / sum(kept.values()) <= \
+        corpus[big] / sum(corpus.values()) + 1e-9
+    # expected keep fraction per lang ~ keep_lt/MOD of the stratum
+    lt = {r["lang"]: r["keep_lt"] for r in rows}
+    for lang, k in kept.items():
+        expect = corpus[lang] * lt[lang] / MIX_MOD
+        assert abs(k - expect) <= max(10, 0.35 * expect), (
+            lang, k, expect)
+    again = {(r["doc_id"], r["lang"]) for r in
+             QUERIES["sample_temperature_mixture"](spark,
+                                                   SF_SMALL).collect()}
+    assert {(r["doc_id"], r["lang"]) for r in rows} == again

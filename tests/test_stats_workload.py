@@ -303,3 +303,73 @@ def test_approx_cardinalities_error_bound_and_determinism(spark):
             QUERIES["stats_column_cardinalities_approx"](
                 spark, SF_SMALL).collect()}
     assert reg == reg2
+
+
+def test_length_percentile_sketch_rank_bound_and_determinism(spark):
+    """Registry sketch-percentile lane: each approx value must be an
+    actual group element whose RANK is within the GK error envelope of
+    the target rank (accuracy=10k => exact at harvest-test n), and the
+    whole frame is bit-identical across runs."""
+    from active_query_optimizer_spark.operators import QUERIES
+
+    rows = QUERIES["stats_length_percentiles_approx"](
+        spark, SF_SMALL).collect()
+    assert rows
+    d = load_table(spark, SF_SMALL, "documents")
+    by_lang = {}
+    for r in d.select("lang", "n_chars").collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for r in rows:
+        vals = sorted(by_lang[r["lang"]])
+        n = len(vals)
+        assert r["n_docs"] == n
+        for p, col in ((0.5, "p50_chars"), (0.9, "p90_chars"),
+                       (0.99, "p99_chars")):
+            v = r[col]
+            assert v in by_lang[r["lang"]], (r["lang"], col, v)
+            # rank error <= n/accuracy (+1 element of slack for ties)
+            import bisect
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v) - 1
+            target = p * (n - 1)
+            slack = n / 10_000 + 1
+            assert lo - slack <= target <= hi + slack, (
+                r["lang"], col, v, lo, hi, target)
+    again = QUERIES["stats_length_percentiles_approx"](
+        spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corr_moments_yield_valid_coefficient(spark):
+    """The harvested integer moment vectors must reduce to a well-formed
+    Pearson coefficient (|r| <= 1) and reproduce numpy's corrcoef on the
+    same fixed-point data — the contract that makes the harvest usable
+    for independence checks."""
+    import math
+
+    import numpy as np
+
+    from active_query_optimizer_spark.operators import QUERIES
+
+    rows = QUERIES["stats_corr_qty_discount"](spark, SF_SMALL).collect()
+    assert rows
+    li = load_table(spark, SF_SMALL, "lineitem")
+    from pyspark.sql import functions as F
+    data = li.select("l_returnflag",
+                     F.col("l_quantity").cast("long").alias("q"),
+                     F.floor(F.col("l_discount") * 100 + 0.5)
+                     .cast("long").alias("du")).collect()
+    by_flag = {}
+    for r in data:
+        by_flag.setdefault(r["l_returnflag"], []).append((r["q"], r["du"]))
+    for r in rows:
+        n, sq, sd = r["n"], r["sum_q"], r["sum_d"]
+        sq2, sd2, sqd = r["sum_q2"], r["sum_d2"], r["sum_qd"]
+        num = n * sqd - sq * sd
+        den = math.sqrt((n * sq2 - sq * sq) * (n * sd2 - sd * sd))
+        assert den > 0
+        rr = num / den
+        assert -1.0 <= rr <= 1.0
+        arr = np.array(by_flag[r["l_returnflag"]], dtype=np.float64)
+        expect = np.corrcoef(arr[:, 0], arr[:, 1])[0, 1]
+        assert abs(rr - expect) < 1e-9, (r["l_returnflag"], rr, expect)
