@@ -26,6 +26,8 @@ NESTED_LOOP_BY_DESIGN = {
     # every row) — the BroadcastNestedLoopJoin is 1 row × n, i.e. the
     # cheapest possible way to ship a global scalar to every task
     "sample_weighted_mix",        # global feasible-total scalar
+    "sample_temperature_mixture", # global weight-sum + feasible-total
+                                  # scalars (same class as weighted_mix)
     "stats_histogram_equiwidth",  # global (min,max) bounds scalar
     "embedding_outlier_flags",    # global norm-moments scalar frame
     # generated-spine completion: hour sequence × distinct type domain —
