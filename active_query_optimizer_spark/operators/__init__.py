@@ -79,9 +79,9 @@ _DRIVER_ORDER = [
     # ---------------- driver window boundary (50) ----------------
     # --- round-4d additions (no driver row yet — verified by the oracle
     #     sweep + SWEEP_r4.json; head of the round-5 window queue)
-    "dedup_paragraph_spans", "text_chunk_overlap",
-    "sample_temperature_mixture", "stats_corr_qty_discount",
-    "stats_length_percentiles_approx",
+    "dedup_paragraph_spans", "dedup_paragraph_rewrite",
+    "text_chunk_overlap", "sample_temperature_mixture",
+    "stats_corr_qty_discount", "stats_length_percentiles_approx",
     # --- remaining round-4b additions (no driver row yet — first in
     #     line for round 5 alongside the r02-only block below)
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",

@@ -1098,3 +1098,93 @@ def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_spans"),
                  F.sum(kept).cast("bigint").alias("n_kept"),
                  F.sum(1 - kept).cast("bigint").alias("n_dup_spans")))
+
+
+def _paragraph_rewrite_oracle() -> str:
+    w = SPAN_W
+    nsp = "(len(th) + %d) // %d" % (w - 1, w)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {tt.tokens_sql('text')} AS toks FROM documents
+    ), th AS (
+      SELECT doc_id, toks,
+             {tt.token_hashes_sql('toks')} AS th
+      FROM base
+    ), spans AS (
+      SELECT doc_id,
+             unnest(range(0, {nsp})) AS span_idx,
+             unnest([{_span_fold_sql(f'th[s*{w}+1 : s*{w}+{w}]')}
+                     for s in range(0, {nsp})]) AS h
+      FROM th
+    ), keyed AS (
+      SELECT doc_id, span_idx, h,
+             doc_id * {SPAN_KEY_MULT} + span_idx AS k
+      FROM spans
+    ), win AS (
+      SELECT h, MIN(k) AS min_k FROM keyed GROUP BY h
+    ), kept AS (
+      SELECT keyed.doc_id,
+             list_sort(list(keyed.span_idx)) AS idxs
+      FROM keyed JOIN win USING (h)
+      WHERE keyed.k = win.min_k
+      GROUP BY keyed.doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(array_to_string(
+             flatten([b.toks[i*{w}+1 : i*{w}+{w}]
+                      for i in coalesce(k.idxs, [])]), ' '), '') AS new_text,
+           CAST(coalesce(list_sum(
+             [len(b.toks[i*{w}+1 : i*{w}+{w}])
+              for i in coalesce(k.idxs, [])]), 0) AS BIGINT) AS n_tokens_out
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """
+
+
+@register("dedup_paragraph_rewrite", oracle=_paragraph_rewrite_oracle())
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE step of span-level dedup — the transform
+    ``dedup_paragraph_spans`` only profiles: drop every duplicated span
+    occurrence (keeping its corpus-wide first occurrence) and rebuild
+    each document from its surviving spans, space-joined. A
+    fully-duplicated document survives as an empty string (the drop
+    decision made explicit), and a clean document round-trips to its
+    space-normalized self (pinned by test).
+
+    Scale: the span-winner machinery is the profiling operator's
+    (three-long rows, min-combined groupBy, AQE-sized hash join); the
+    only addition is ONE join of the per-doc kept-index list (a handful
+    of ints) back to the token arrays — document bodies move exactly
+    once, to the task that rewrites them. The rebuild itself is
+    JVM-side array slicing + flatten + concat_ws, no UDF."""
+    w = SPAN_W
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    base = d.select("doc_id", tt.tokens(F.col("text")).alias("toks"))
+    th = base.select("doc_id", "toks",
+                     tt.token_hashes(F.col("toks")).alias("th"))
+    n = F.size("th")
+    n_spans = F.floor((n + (w - 1)) / w).cast("int")
+    span_hashes = F.when(n == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda s: F.aggregate(
+                F.slice("th", s * w + 1, F.lit(w)),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 31 + h) % tt.HASH_P)))
+    keyed = (th.select("doc_id",
+                       F.posexplode(span_hashes).alias("span_idx", "h"))
+             .select("doc_id", "span_idx", "h",
+                     (F.col("doc_id") * SPAN_KEY_MULT
+                      + F.col("span_idx")).alias("k")))
+    win = keyed.groupBy("h").agg(F.min("k").alias("min_k"))
+    kept = (keyed.join(win, "h")
+            .filter(F.col("k") == F.col("min_k"))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("span_idx")).alias("idxs")))
+    idxs = F.coalesce(F.col("idxs"), F.array().cast("array<int>"))
+    pieces = F.transform(idxs, lambda i: F.slice("toks", i * w + 1, F.lit(w)))
+    return (base.join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.concat_ws(" ", F.flatten(pieces)).alias("new_text"),
+                    F.aggregate(pieces, F.lit(0).cast("long"),
+                                lambda acc, p: acc + F.size(p))
+                    .alias("n_tokens_out")))

@@ -122,6 +122,7 @@ HEADLINE = [
     # round-4d additions: span-level dedup, context-window chunking,
     # temperature mixture sampling, correlation harvest, sketch percentiles
     "dedup_paragraph_spans",
+    "dedup_paragraph_rewrite",
     "text_chunk_overlap",
     "sample_temperature_mixture",
     "stats_corr_qty_discount",

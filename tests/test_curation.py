@@ -243,3 +243,38 @@ def test_temperature_mixture_flattens_distribution(spark):
              QUERIES["sample_temperature_mixture"](spark,
                                                    SF_SMALL).collect()}
     assert {(r["doc_id"], r["lang"]) for r in rows} == again
+
+
+def test_paragraph_rewrite_roundtrip_and_consistency(spark):
+    """Rewrite semantics: a document with no duplicated span round-trips
+    to its space-joined tokens; every rewritten doc's token count equals
+    len(split(new_text)); and the rewrite agrees with the profiling
+    operator's kept-span accounting doc by doc."""
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.functions import texttools as tt
+
+    rewrite = {r["doc_id"]: r for r in
+               QUERIES["dedup_paragraph_rewrite"](spark, SF_SMALL).collect()}
+    profile = {r["doc_id"]: r for r in
+               QUERIES["dedup_paragraph_spans"](spark, SF_SMALL).collect()}
+    toks = {r["doc_id"]: r["t"] for r in
+            load_table(spark, SF_SMALL, "documents")
+            .select("doc_id", tt.tokens(F.col("text")).alias("t"))
+            .collect()}
+    assert set(rewrite) == set(toks)
+    dropped_docs = 0
+    for doc_id, r in rewrite.items():
+        out_toks = [t for t in r["new_text"].split(" ") if t]
+        assert len(out_toks) == r["n_tokens_out"]
+        p = profile.get(doc_id)
+        if p is None:       # no spans => empty doc
+            assert r["n_tokens_out"] == 0
+            continue
+        if p["n_dup_spans"] == 0:
+            assert r["new_text"] == " ".join(toks[doc_id]), doc_id
+        else:
+            dropped_docs += 1
+            assert r["n_tokens_out"] < len(toks[doc_id])
+        if p["n_kept"] == 0:
+            assert r["new_text"] == ""
+    assert dropped_docs > 0  # the corpus genuinely contains repeated spans
