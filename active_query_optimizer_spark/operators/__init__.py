@@ -19,7 +19,7 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
              "pipelineops", "streamops", "curation", "quality", "analytics",
-             "embedvec", "cdcops", "decision"):
+             "embedvec", "cdcops", "decision", "lakeops"):
     try:  # noqa: SIM105
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover - partial checkout
@@ -77,11 +77,14 @@ _DRIVER_ORDER = [
     "tpch_q15_top_supplier", "tpch_q2_min_cost_supplier",
     "tpch_q16_supplier_variety", "tpch_q8_market_share",
     # ---------------- driver window boundary (50) ----------------
-    # --- round-4d additions (no driver row yet — verified by the oracle
-    #     sweep + SWEEP_r4.json; head of the round-5 window queue)
+    # --- round-4d/4e additions (no driver row yet — verified by the
+    #     oracle sweep + SWEEP_r4.json; head of the round-5 window queue)
     "dedup_paragraph_spans", "dedup_paragraph_rewrite",
     "text_chunk_overlap", "sample_temperature_mixture",
     "stats_corr_qty_discount", "stats_length_percentiles_approx",
+    "dq_constraint_report", "zorder_layout_profile",
+    "scd2_history_build", "incremental_agg_maintenance",
+    "graph_bfs_hops",
     # --- remaining round-4b additions (no driver row yet — first in
     #     line for round 5 alongside the r02-only block below)
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",

@@ -929,6 +929,131 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: BFS seed set: every 100th document
+BFS_SEED_MOD = 100
+#: hop bound — provenance-expansion radius
+BFS_MAX_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    pairs = _jaccard_oracle("TRUE", JACCARD_THRESHOLD, MINHASH_SHINGLE_N)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs}
+    ), und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), walk(node, hops) AS (
+      SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+      WHERE doc_id % {BFS_SEED_MOD} = 0
+      UNION
+      SELECT e.v, w.hops + 1 FROM walk w JOIN und e ON e.u = w.node
+      WHERE w.hops < {BFS_MAX_HOPS}
+    ), dist AS (
+      SELECT node, MIN(hops) AS hops FROM walk GROUP BY node
+    )
+    SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dist GROUP BY hops
+    """
+
+
+def _local_bfs_hop_counts(edges: list[tuple[int, int]],
+                          seed_mod: int, max_hops: int) -> dict[int, int]:
+    """Driver-side BFS over a bounded edge list: min-hop layer sizes for
+    hops 1..max_hops from the seed predicate ``node % seed_mod == 0``.
+    Hop 0 is NOT included (seeds are corpus-bound, not edge-bound — the
+    caller counts them distributed)."""
+    from collections import defaultdict, deque
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    seeds = [n for n in adj if n % seed_mod == 0]
+    visited = set(seeds)
+    q = deque((s, 0) for s in seeds)
+    counts: dict[int, int] = {}
+    while q:
+        node, h = q.popleft()
+        if h >= max_hops:
+            continue
+        for nxt in adj[node]:
+            if nxt not in visited:
+                visited.add(nxt)
+                counts[h + 1] = counts.get(h + 1, 0) + 1
+                q.append((nxt, h + 1))
+    return counts
+
+
+@register("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str,
+                   local_max_edges: int = CC_LOCAL_MAX_EDGES,
+                   stats: dict | None = None) -> DataFrame:
+    """Multi-source bounded BFS over the near-duplicate graph: minimum
+    hop distance (≤ {3}) from a seed set (every {100}th document), layer
+    sizes per hop — the provenance-expansion query ("everything within k
+    near-dup steps of these flagged documents") that contamination
+    triage and takedown propagation run.
+
+    Scale shape:
+
+    - **hop 0 never touches the graph**: the seed count is a corpus
+      aggregate (count only — seeds are corpus-bound and must NOT be
+      collected);
+    - the edge list is edge-bound like ``connected_components`` and gets
+      the same size-adaptive treatment: ≤ ``local_max_edges`` →
+      driver-side BFS over the collected pairs (hops 1+ only — the
+      frontier can only contain edge endpoints); larger → a bounded
+      ``BFS_MAX_HOPS``-round frontier loop, each round one
+      edges-join + anti-join against the visited set, one action;
+    - rounds are FIXED (3), so there is no convergence-detection action
+      and lineage stays shallow — no checkpointing needed.
+
+    The oracle replays the exact-Jaccard pair set with a recursive CTE
+    (``UNION``-deduped, so the walk table is bounded by nodes × hops,
+    not path count)."""
+    pairs = (dedup_minhash_lsh(spark, sf_dir)
+             .select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")).persist())
+    d = load_table(spark, sf_dir, "documents")
+    n_seeds = d.filter(F.col("doc_id") % BFS_SEED_MOD == 0).count()
+    und = (pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+           .union(pairs.select(F.col("dst").alias("u"),
+                               F.col("src").alias("v")))).persist()
+    n_edges = und.count()
+    pairs.unpersist()
+    if n_edges <= local_max_edges:
+        edges = [(r["u"], r["v"]) for r in und.collect()]
+        und.unpersist()
+        if stats is not None:
+            stats["mode"] = "local"
+        counts = _local_bfs_hop_counts(
+            edges, BFS_SEED_MOD, BFS_MAX_HOPS)
+        rows = [(0, n_seeds)] + sorted(counts.items())
+        return spark.createDataFrame(rows, "hops bigint, n_docs bigint")
+    if stats is not None:
+        stats["mode"] = "loop"
+    visited = (d.filter(F.col("doc_id") % BFS_SEED_MOD == 0)
+               .select(F.col("doc_id").alias("node"),
+                       F.lit(0).cast("bigint").alias("hops"))).persist()
+    frontier = visited.select("node")
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (frontier.join(und, frontier["node"] == und["u"])
+               .select(F.col("v").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h).cast("bigint"))).persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    out = (visited.groupBy("hops")
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           .localCheckpoint(eager=True))
+    und.unpersist()
+    return out
+
+
 def _cluster_centroid_oracle() -> str:
     from .embedvec import DIM_Q
 

@@ -127,6 +127,13 @@ HEADLINE = [
     "sample_temperature_mixture",
     "stats_corr_qty_discount",
     "stats_length_percentiles_approx",
+    # round-4e additions: data-quality constraint suite, Z-order layout,
+    # SCD2 versioning, incremental aggregate maintenance, bounded BFS
+    "dq_constraint_report",
+    "zorder_layout_profile",
+    "scd2_history_build",
+    "incremental_agg_maintenance",
+    "graph_bfs_hops",
 ]
 
 
