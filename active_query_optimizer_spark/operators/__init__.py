@@ -85,6 +85,10 @@ _DRIVER_ORDER = [
     "dq_constraint_report", "zorder_layout_profile",
     "scd2_history_build", "incremental_agg_maintenance",
     "graph_bfs_hops",
+    "pareto_front_orders", "events_decay_weighted_sum",
+    "quality_length_percent_rank",
+    "stats_reservoir_sample_profile", "events_time_weighted_value",
+    "basket_brand_pairs",
     # --- remaining round-4b additions (no driver row yet — first in
     #     line for round 5 alongside the r02-only block below)
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",

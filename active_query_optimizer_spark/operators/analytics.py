@@ -413,3 +413,234 @@ def events_trailing_7d_active_users(spark: SparkSession,
                  F.countDistinct(
                      F.when(F.col("day_num") == F.col("anchor"),
                             F.col("user_id"))).alias("active_1d")))
+
+
+@register(
+    "pareto_front_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS epoch_day
+      FROM orders
+    ), pm AS (
+      SELECT o_custkey, price_cents, MAX(epoch_day) AS mx
+      FROM o GROUP BY o_custkey, price_cents
+    ), sm AS (
+      SELECT o_custkey, price_cents,
+             MAX(mx) OVER (PARTITION BY o_custkey ORDER BY price_cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS smx
+      FROM pm
+    )
+    SELECT o.o_custkey, o.o_orderkey, o.price_cents, o.epoch_day
+    FROM o JOIN sm USING (o_custkey, price_cents)
+    WHERE sm.smx IS NULL OR o.epoch_day >= sm.smx
+    """,
+)
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 2-D **skyline** (Pareto front): the orders not
+    strictly dominated in (price, recency) — no other order of the same
+    customer has BOTH a strictly higher price and a strictly later date.
+    The multi-objective "best trade-offs" operator (price/recency,
+    quality/length, cost/latency) that plain top-k can't express.
+
+    A naive skyline is a quadratic self-join per group. For 2-D the
+    sort-based form is exact and linear after sorting: group prices,
+    take max(day) per (customer, price), then a running max over
+    strictly-greater prices — a row is dominated iff that strict-prefix
+    max exceeds its day. ``ROWS … 1 PRECEDING`` on the per-price frame
+    is what makes the prefix STRICT (price peers sit in one row), and
+    integer-cents grouping keys keep the two engines' group boundaries
+    identical.
+
+    Scale: one shuffle family on ``o_custkey`` serves the aggregate, the
+    window, and the join back (co-partitioned); nothing quadratic, no
+    cross join. Higher-dimensional skylines compose this pass per
+    dominance-comparable axis pair or fall back to the block-nested
+    scan over per-group bounded frames."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey", "o_orderkey",
+        F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+         .alias("price_cents"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("epoch_day"))
+    pm = (base.groupBy("o_custkey", "price_cents")
+          .agg(F.max("epoch_day").alias("mx")))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("price_cents").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sm = pm.select("o_custkey", "price_cents",
+                   F.max("mx").over(w).alias("smx"))
+    return (base.join(sm, ["o_custkey", "price_cents"])
+            .filter(F.col("smx").isNull()
+                    | (F.col("epoch_day") >= F.col("smx")))
+            .select("o_custkey", "o_orderkey", "price_cents", "epoch_day"))
+
+
+#: EWMA half-life in events: weight 2^(DECAY_LAGS-1-k) for lag k
+DECAY_LAGS = 10
+
+
+def _decay_terms_sql() -> tuple[str, str]:
+    """(decay_cents, w_sum) SQL fragments — shared verbatim by the Spark
+    plan (``selectExpr``) and the DuckDB oracle (LAG/CASE/inline OVER/
+    integer multiply are dialect-common). The identical inline window
+    spec on every LAG collapses to ONE window operator in Catalyst."""
+    over = "OVER (PARTITION BY user_id ORDER BY event_id)"
+    num, den = [], []
+    for k in range(DECAY_LAGS):
+        wt = 2 ** (DECAY_LAGS - 1 - k)
+        src = "cents" if k == 0 else f"LAG(cents, {k}) {over}"
+        num.append(f"COALESCE({src}, 0) * {wt}")
+        den.append(f"CASE WHEN {src} IS NULL THEN 0 ELSE {wt} END")
+    return " + ".join(num), " + ".join(den)
+
+
+@register(
+    "events_decay_weighted_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST({NUM} AS BIGINT) AS decay_cents,
+           CAST({DEN} AS BIGINT) AS w_sum
+    FROM (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    """.replace("{NUM}", _decay_terms_sql()[0])
+       .replace("{DEN}", _decay_terms_sql()[1]),
+)
+def events_decay_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay-weighted rolling feature per user: each event
+    carries ``Σ value_i · 2^(9-k)`` over its last 10 events (k = age in
+    events) — the recency-weighted activity feature (EWMA numerator)
+    behavioural models consume, with ``w_sum`` the realized weight mass
+    so the consumer normalizes (``decay/w_sum``) without the engine ever
+    dividing.
+
+    Exactness: a true EWMA recurrence is a float fold whose summation
+    order engines don't agree on; bounding the horizon to 10 lags turns
+    it into an INTEGER dot product (cents × power-of-two weights —
+    ≤ 512·10·max_cents, far inside int64), bit-identical everywhere.
+    The unique ``event_id`` in the window order makes lag contents
+    engine-deterministic under timestamp ties.
+
+    Scale: one shuffle to (user_id)-partition, one sort, ten lags over
+    the same window frame fold into a single window operator — no
+    self-join, no explode. The fragment is generated once and shared
+    verbatim with the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    num, den = _decay_terms_sql()
+    return (ev.select(
+        "user_id", "event_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+         .alias("cents"))
+        .selectExpr("user_id", "event_id",
+                    f"cast({num} as bigint) as decay_cents",
+                    f"cast({den} as bigint) as w_sum"))
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) // 1000000 AS dt_sec
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(cents * dt_sec) AS BIGINT) AS twa_num,
+           CAST(SUM(dt_sec) AS BIGINT) AS dur_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg WHERE dt_sec IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average building blocks per user (TWAP-style): each
+    consecutive event pair contributes ``value · Δt`` for the interval it
+    was the live value — the correct average for irregularly-sampled
+    series, where a plain AVG over-weights bursts. Emits the integer
+    numerator (``cents × whole seconds``), the total covered duration,
+    and the segment count; the single float division is the consumer's.
+
+    Exactness: interval ends come from ``LEAD`` over ``(ts, event_id)``
+    (unique tie-break ⇒ deterministic pairing); timestamps are compared
+    in integer MICROseconds (both engines store micros; a seconds-level
+    epoch would round differently), then the Δ is floored to whole
+    seconds by integer division — identical in both engines. Bounds:
+    cents ≤ ~5·10⁴, Δt ≤ the dataset span (~10⁸ s), per-user sums are
+    orders of magnitude inside int64.
+
+    Scale: one shuffle to (user_id), one sort serving the window, then a
+    partial-aggregable groupBy on the same key — the exchange is reused
+    (window and aggregate share partitioning), so the fact table moves
+    once."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — with the
+    # session TZ pinned UTC the cast is value-preserving
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = ev.select(
+        "user_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+         .alias("cents"),
+        ((F.lead(us).over(w) - us) / F.lit(1_000_000))
+        .cast("bigint").alias("dt_sec"))
+    return (seg.filter(F.col("dt_sec").isNotNull())
+            .groupBy("user_id")
+            .agg(F.sum(F.col("cents") * F.col("dt_sec"))
+                 .cast("bigint").alias("twa_num"),
+                 F.sum("dt_sec").cast("bigint").alias("dur_sec"),
+                 F.count(F.lit(1)).alias("n_segments")))
+
+
+@register(
+    "basket_brand_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    GROUP BY brand_a, brand_b
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every brand pair, the number of
+    orders containing both — the pairwise support table association-rule
+    mining (and co-purchase recommenders) start from.
+
+    Scale shape: the brand lookup broadcasts (``part`` is the small
+    dim), the per-order brand set collapses through DISTINCT on
+    ``(orderkey, brand)`` BEFORE pairing (dedup first — pairing raw
+    line items would square the per-order fan-out), and the pair
+    self-join is co-partitioned on ``orderkey`` (the DISTINCT's shuffle
+    partitioning serves both join sides — one exchange family, no
+    re-shuffle). Per-order fan-out is bounded by the basket's distinct
+    brand count (≤ ~7 lines/order here), never by the catalog; the
+    final aggregate's key space is |brands|² / 2 — tiny. At 100 TB the
+    same plan holds because every stage is keyed by orderkey or by the
+    bounded pair key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("p_brand").alias("brand"))
+          .distinct())
+    a = ob.alias("a")
+    b = ob.alias("b")
+    return (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                   & (F.col("a.brand") < F.col("b.brand")))
+            .groupBy(F.col("a.brand").alias("brand_a"),
+                     F.col("b.brand").alias("brand_b"))
+            .agg(F.count(F.lit(1)).alias("n_orders")))

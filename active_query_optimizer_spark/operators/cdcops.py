@@ -177,7 +177,10 @@ def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the full-outer join shares the merge's key partitioning (one
     exchange family end-to-end); full outer can never broadcast, but
     both sides are key-bucketed dimension snapshots, not facts. The
-    history expansion is a map-only union of two projections."""
+    history expansion is a map-only ``explode`` of a per-key row array —
+    ONE pass over the joined frame (a union of two filtered projections
+    would execute the full-outer join twice; the plan test pins the
+    single-join shape)."""
     snap, _batch, merged = cdc_frames(spark, sf_dir)
     v1 = snap.select(F.col("k"), F.col("status").alias("s1"),
                      F.col("cents").alias("c1"),
@@ -196,21 +199,26 @@ def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
           .when(F.col("in_v1"), "deleted")
           .otherwise("inserted"))
     classified = diff.withColumn("change_type", ct)
-    h1 = (classified.filter("in_v1")
-          .select("k", F.col("s1").alias("status"),
-                  F.col("c1").alias("cents"),
-                  F.lit(0).cast("bigint").alias("valid_from"),
-                  F.when(F.col("change_type") == "unchanged",
-                         F.lit(None).cast("bigint"))
-                   .otherwise(F.lit(1).cast("bigint")).alias("valid_to"),
-                  "change_type"))
-    h2 = (classified.filter(F.col("change_type").isin("updated", "inserted"))
-          .select("k", F.col("s2").alias("status"),
-                  F.col("c2").alias("cents"),
-                  F.lit(1).cast("bigint").alias("valid_from"),
-                  F.lit(None).cast("bigint").alias("valid_to"),
-                  "change_type"))
-    hist = h1.unionByName(h2)
+    # one history-row struct array per key, exploded in the same pass —
+    # NOT a union of filtered projections (that plan runs the full-outer
+    # join once per branch)
+    row = ("named_struct('status', {s}, 'cents', {c}, "
+           "'valid_from', cast({f} as bigint), "
+           "'valid_to', cast({t} as bigint))")
+    v1_closed = row.format(s="s1", c="c1", f=0, t=1)
+    v1_open = row.format(s="s1", c="c1", f=0, t="null")
+    v2_open = row.format(s="s2", c="c2", f=1, t="null")
+    hist = (classified.select(
+        "k", "change_type",
+        F.explode(F.expr(f"""
+            CASE change_type
+              WHEN 'unchanged' THEN array({v1_open})
+              WHEN 'updated'  THEN array({v1_closed}, {v2_open})
+              WHEN 'deleted'  THEN array({v1_closed})
+              ELSE array({v2_open})
+            END""")).alias("h"))
+        .select("k", "change_type", "h.status", "h.cents",
+                "h.valid_from", "h.valid_to"))
     return (hist.groupBy("change_type",
                          F.col("valid_to").isNull().alias("is_current"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -234,26 +242,27 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the snapshot is touched ONCE (for the base aggregate, which a
     production system already has materialized — then the cost is the
-    batch only). No join at all: two aggregate passes unioned on a
-    25-value grouping key. At 100 TB vs the MERGE-then-rescan plan this
-    replaces a full-snapshot shuffle with a batch-sized one."""
+    batch only), and the batch ONCE (every change row maps to exactly
+    one delta row via conditional expressions — no per-action filtered
+    branches, which would scan the batch three times). No join at all:
+    two aggregate passes unioned on a 25-value grouping key. At 100 TB
+    vs the MERGE-then-rescan plan this replaces a full-snapshot shuffle
+    with a batch-sized one."""
     snap, batch, _merged = cdc_frames(spark, sf_dir)
     base = (snap.groupBy("status")
             .agg(F.count(F.lit(1)).cast("bigint").alias("dn"),
                  F.sum("cents").cast("bigint").alias("dc")))
-    upd = (batch.filter(F.col("action") == 0)
-           .select("status", F.lit(0).cast("bigint").alias("dn"),
-                   (F.expr("cents * 11 div 10") - F.col("cents"))
-                   .cast("bigint").alias("dc")))
-    dele = (batch.filter(F.col("action") == 1)
-            .select("status", F.lit(-1).cast("bigint").alias("dn"),
-                    (-F.col("cents")).cast("bigint").alias("dc")))
-    ins = (batch.filter(F.col("action") == 2)
-           .select(F.lit("NEW").alias("status"),
-                   F.lit(1).cast("bigint").alias("dn"),
-                   F.col("cents").cast("bigint").alias("dc")))
-    deltas = base.unionByName(upd).unionByName(dele).unionByName(ins)
-    return (deltas.groupBy("status")
+    deltas = batch.select(
+        F.when(F.col("action") == 2, F.lit("NEW"))
+         .otherwise(F.col("status")).alias("status"),
+        F.when(F.col("action") == 0, 0)
+         .when(F.col("action") == 1, -1)
+         .otherwise(1).cast("bigint").alias("dn"),
+        F.when(F.col("action") == 0,
+               F.expr("cents * 11 div 10") - F.col("cents"))
+         .when(F.col("action") == 1, -F.col("cents"))
+         .otherwise(F.col("cents")).cast("bigint").alias("dc"))
+    return (base.unionByName(deltas).groupBy("status")
             .agg(F.sum("dn").cast("bigint").alias("n_rows"),
                  F.sum("dc").cast("bigint").alias("sum_cents"))
             .filter(F.col("n_rows") > 0))

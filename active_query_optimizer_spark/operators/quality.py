@@ -321,3 +321,37 @@ def quality_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("freq").alias("min_token_freq"),
                  (F.sum("freq").cast("double") /
                   F.count(F.lit(1)).cast("double")).alias("avg_token_freq")))
+
+
+@register(
+    "quality_length_percent_rank",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS pr
+    FROM documents
+    """,
+)
+def quality_length_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank normalization of a per-document signal within its
+    language: ``percent_rank()`` of ``n_chars`` — the score-calibration
+    step quality filters need before thresholding across languages (a
+    fixed char cutoff means different things in different scripts; a
+    within-language percentile is comparable).
+
+    Determinism: ``percent_rank = (rank-1)/(n-1)`` — both factors are
+    integers, so the single double division is bit-identical across
+    engines PROVIDED rank itself is deterministic; the unique ``doc_id``
+    tie-break in the window order guarantees it (ordering by the raw
+    score alone would make tied ranks engine-dependent).
+
+    Scale: one shuffle to (lang)-partition plus a per-partition sort.
+    Language is a bounded-cardinality, skewed key (one partition per
+    language caps parallelism at n_langs); at 100 TB the same
+    normalization runs on the equi-depth sketch boundaries instead
+    (``stats_price_deciles`` is the exact anchor for that path) so no
+    single-language global sort is ever materialized."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select("doc_id", "lang", "n_chars",
+                    F.percent_rank().over(w).alias("pr"))

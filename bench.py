@@ -134,6 +134,16 @@ HEADLINE = [
     "scd2_history_build",
     "incremental_agg_maintenance",
     "graph_bfs_hops",
+    # round-4f additions: skyline, decay-weighted rolling feature,
+    # within-group percentile normalization
+    "pareto_front_orders",
+    "events_decay_weighted_sum",
+    "quality_length_percent_rank",
+    # round-4g additions: deterministic stats reservoir, time-weighted
+    # value segments, market-basket pair support
+    "stats_reservoir_sample_profile",
+    "events_time_weighted_value",
+    "basket_brand_pairs",
 ]
 
 

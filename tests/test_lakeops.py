@@ -103,3 +103,140 @@ def test_bfs_local_and_loop_paths_agree(spark):
     n_seeds = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
                .filter(F.col("doc_id") % 100 == 0).count())
     assert local[0] == n_seeds
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    """The sort-based skyline must equal the O(n²) dominance definition:
+    kept ⟺ no same-customer order has BOTH strictly higher price and
+    strictly later day."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS "
+                f"SELECT * FROM '{SF_SMALL}/orders.parquet'")
+    rows = con.execute("""
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT),
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400
+        FROM orders""").fetchall()
+    by_cust: dict = {}
+    for ck, ok, pc, ed in rows:
+        by_cust.setdefault(ck, []).append((ok, pc, ed))
+    want = set()
+    for ck, os_ in by_cust.items():
+        for ok, pc, ed in os_:
+            if not any(pc2 > pc and ed2 > ed for _, pc2, ed2 in os_):
+                want.add((ck, ok))
+    got = {(r.o_custkey, r.o_orderkey) for r in
+           QUERIES["pareto_front_orders"](spark, SF_SMALL).collect()}
+    assert got == want
+
+
+def test_decay_sum_single_window_operator(spark):
+    """The ten LAG terms share one window spec and must collapse into a
+    single Window physical operator (one sort), not ten."""
+    df = QUERIES["events_decay_weighted_sum"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, \
+        plan[:3000]
+
+
+def test_decay_sum_replica(spark):
+    """Python replica of the decay fold on one user's event sequence."""
+    from decimal import Decimal
+
+    out = {r.event_id: (r.decay_cents, r.w_sum) for r in
+           QUERIES["events_decay_weighted_sum"](spark, SF_SMALL).collect()}
+    ev = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+          .select("user_id", "event_id", "value").collect())
+    by_user: dict = {}
+    for r in ev:
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        by_user.setdefault(r.user_id, []).append((r.event_id, cents))
+    for _u, seq in by_user.items():
+        seq.sort()
+        for i, (eid, _c) in enumerate(seq):
+            num = den = 0
+            for k in range(10):
+                if i - k < 0:
+                    break
+                wt = 2 ** (9 - k)
+                num += seq[i - k][1] * wt
+                den += wt
+            assert out[eid] == (num, den), (eid, out[eid], (num, den))
+
+
+def test_percent_rank_bounds_and_extremes(spark):
+    """pr ∈ [0,1]; every multi-row language hits both 0 and 1 exactly
+    once (unique tie-broken order ⇒ no duplicated extreme ranks)."""
+    rows = QUERIES["quality_length_percent_rank"](spark, SF_SMALL).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert 0.0 <= r.pr <= 1.0
+        by_lang.setdefault(r.lang, []).append(r.pr)
+    for lang, prs in by_lang.items():
+        if len(prs) > 1:
+            assert prs.count(0.0) == 1 and prs.count(1.0) == 1, lang
+
+
+def test_scd2_single_fullouter_join(spark):
+    """The history expansion must be one explode over ONE full-outer
+    join — a union of filtered projections would execute the join (and
+    the whole merge lineage) once per branch."""
+    df = QUERIES["scd2_history_build"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") == 1, plan[:3000]
+    assert "Generate explode" in plan, plan[:3000]
+
+
+def test_incremental_agg_scans_batch_once(spark):
+    """The delta projection is conditional-expression, not three
+    filtered branches: the plan reads the orders scan exactly twice
+    (base aggregate + batch carve), not four times."""
+    df = QUERIES["incremental_agg_maintenance"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 2, plan[:3000]
+
+
+def test_reservoir_is_take_ordered_not_global_sort(spark):
+    """ORDER BY rank LIMIT k must lower to TakeOrderedAndProject (per-
+    partition k-heaps merged on the driver), never a materialized global
+    sort; and the sample size is exactly k when the table has ≥ k rows."""
+    df = QUERIES["stats_reservoir_sample_profile"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    total = sum(r.n_sampled for r in df.collect())
+    assert total == 256
+
+
+def test_time_weighted_segments_identity(spark):
+    """Each user with n events contributes exactly n-1 segments — the
+    LEAD pairing must drop precisely one (the last) event per user."""
+    out = {r.user_id: r.n_segments for r in
+           QUERIES["events_time_weighted_value"](spark, SF_SMALL).collect()}
+    from active_query_optimizer_spark.catalog import load_table
+
+    per_user = {r.user_id: r.n for r in
+                load_table(spark, SF_SMALL, "events")
+                .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    for u, n in per_user.items():
+        assert out.get(u, 0) == n - 1, (u, n, out.get(u))
+
+
+def test_basket_pairs_bounded_by_marginals(spark):
+    """Pair support can never exceed either brand's own order count, and
+    the pair key is canonically ordered (brand_a < brand_b)."""
+    rows = QUERIES["basket_brand_pairs"](spark, SF_SMALL).collect()
+    assert rows
+    from active_query_optimizer_spark.catalog import load_table
+
+    l = load_table(spark, SF_SMALL, "lineitem")
+    p = load_table(spark, SF_SMALL, "part")
+    marg = {r.p_brand: r.n for r in
+            l.join(p, l.l_partkey == p.p_partkey)
+            .select("l_orderkey", "p_brand").distinct()
+            .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.n_orders <= min(marg[r.brand_a], marg[r.brand_b])
