@@ -77,8 +77,8 @@ _DRIVER_ORDER = [
     "tpch_q15_top_supplier", "tpch_q2_min_cost_supplier",
     "tpch_q16_supplier_variety", "tpch_q8_market_share",
     # ---------------- driver window boundary (50) ----------------
-    # --- round-4d/4e additions (no driver row yet — verified by the
-    #     oracle sweep + SWEEP_r4.json; head of the round-5 window queue)
+    # --- round-4d/4e/4f/4g additions (no driver row yet — verified by
+    #     the oracle sweep + SWEEP_r4.json; head of the round-5 queue)
     "dedup_paragraph_spans", "dedup_paragraph_rewrite",
     "text_chunk_overlap", "sample_temperature_mixture",
     "stats_corr_qty_discount", "stats_length_percentiles_approx",
