@@ -644,3 +644,159 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a.brand").alias("brand_a"),
                      F.col("b.brand").alias("brand_b"))
             .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioural transition matrix: counts of consecutive
+    ``(prev_event_type → next_event_type)`` pairs per user stream — the
+    sufficient statistic for a Markov-chain user model (next-action
+    prediction, anomalous-sequence scoring, funnel leak localization —
+    exactly which step users bounce between).
+
+    Determinism: the lag window orders by ``(ts, event_id)`` — the
+    unique id breaks timestamp ties, so each user's sequence (and hence
+    every transition pair) is engine-identical.
+
+    Scale: one shuffle to (user_id), one sort for the lag, then an
+    aggregate whose key space is |event_types|² — map-side combinable
+    down to a constant-size matrix regardless of fact size. The
+    distinct-user count rides the same aggregate (the pair stream
+    carries user_id; no second pass over events)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    return (seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions"),
+                 F.count_distinct("user_id").alias("n_users")))
+
+
+#: RFM quantile buckets per axis
+RFM_BUCKETS = 4
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(epoch(o_orderdate) AS BIGINT) // 86400) AS r_day,
+             COUNT(*) AS freq,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             NTILE({RFM_BUCKETS}) OVER (ORDER BY r_day, o_custkey)
+               AS r_bucket,
+             NTILE({RFM_BUCKETS}) OVER (ORDER BY freq, o_custkey)
+               AS f_bucket,
+             NTILE({RFM_BUCKETS}) OVER (ORDER BY cents, o_custkey)
+               AS m_bucket
+      FROM cust
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_bucket, f_bucket, m_bucket
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cube: every
+    customer scored into ``NTILE({4})`` quantile buckets independently
+    on Recency (latest order epoch-day), Frequency (order count), and
+    Monetary (integer-cents revenue), then segment sizes per
+    (r, f, m) cell. The downstream consumer reads cells like
+    (4,4,4) = champions / (1,1,1) = lapsed.
+
+    Determinism: every NTILE ordering carries the unique ``o_custkey``
+    tie-break — bucket boundaries cut tie runs identically in both
+    engines (bare NTILE over a non-unique key is
+    engine-nondeterministic at bucket edges).
+
+    Scale: one key aggregate collapses the fact table to one row per
+    customer; the three global NTILE sorts run over that key-sized
+    frame (the deliberate global-sort family — `stats_price_deciles`
+    is the anchor; at extreme key counts the buckets come from
+    sketch-derived boundaries instead). Output is ≤ 4³ cells."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.max(F.expr("unix_timestamp(o_orderdate) div 86400"))
+                 .alias("r_day"),
+                 F.count(F.lit(1)).alias("freq"),
+                 F.sum(F.expr("cast(cast(o_totalprice as decimal(18,2))"
+                              " * 100 as bigint)")).alias("cents")))
+    def bucket(col: str):
+        return F.ntile(RFM_BUCKETS).over(
+            Window.orderBy(F.col(col).asc(), F.col("o_custkey").asc()))
+    scored = cust.select(
+        "o_custkey", bucket("r_day").alias("r_bucket"),
+        bucket("freq").alias("f_bucket"), bucket("cents").alias("m_bucket"))
+    return (scored.groupBy("r_bucket", "f_bucket", "m_bucket")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+#: burst threshold: a user is flagged when any single hour holds more
+#: than this many of their events (tuned so the flag genuinely fires on
+#: this data — at sf0.01 it catches 7 of 150 users; a screen that never
+#: fires proves nothing)
+BURST_PER_HOUR = 2
+
+
+@register(
+    "events_burst_users",
+    oracle=f"""
+    WITH per_hour AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS cnt
+      FROM events GROUP BY user_id, hour
+    )
+    SELECT user_id,
+           CAST(MAX(cnt) AS BIGINT) AS max_per_hour,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           MAX(cnt) > {BURST_PER_HOUR} AS is_burst
+    FROM per_hour GROUP BY user_id
+    """,
+)
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/bot-rate screening: per user, the hottest hour's event
+    count and a flag when it exceeds ``BURST_PER_HOUR`` — the
+    rate-based abuse filter a telemetry or crawl pipeline applies
+    before letting traffic into training data (scripted clients are
+    rate-bursty long before they are content-distinguishable).
+
+    Scale: two stacked aggregates over the same ``user_id``-leading key
+    — ``(user, hour)`` then ``user`` — so the second reuses the
+    first's partitioning (one exchange family); both min-combine
+    map-side, so a bot firing 10⁶ events in one hour contributes one
+    partial row per map partition, not 10⁶ shuffle rows (the skewed
+    entity IS the one being hunted — the plan must not melt under it).
+    The streaming twin is a tumbling-window count
+    (``stream_windowed_event_counts``) with the flag in foreachBatch."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    per_hour = (ev.groupBy("user_id",
+                           F.date_trunc("hour", F.col("ts")).alias("hour"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_hour.groupBy("user_id")
+            .agg(F.max("cnt").cast("bigint").alias("max_per_hour"),
+                 F.sum("cnt").cast("bigint").alias("n_events"),
+                 (F.max("cnt") > BURST_PER_HOUR).alias("is_burst")))

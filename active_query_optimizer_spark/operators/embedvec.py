@@ -392,3 +392,84 @@ def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.expr("sum(vq) div count(1)").cast("bigint")
                   .alias("centroid_q")))
+
+
+#: one-Lloyd-step constants: seed count, milli-unit quantization, and the
+#: champion-key multiplier (must exceed the largest cid; 16 > 8)
+KM_K = 8
+KM_Q = 1000
+KM_TIE = 16
+
+
+@register(
+    "embedding_kmeans_step",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+          v -> CAST(FLOOR(CAST(v AS DOUBLE) * {KM_Q} + 0.5) AS BIGINT))
+        AS qv
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {KM_K}
+    ), pairs AS (
+      SELECT q.vec_id, s.cid,
+             list_sum(list_transform(generate_series(1, len(q.qv)),
+                i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i]))) AS dist
+      FROM q CROSS JOIN seeds s
+    ), assign AS (
+      SELECT vec_id, arg_min(cid, dist * {KM_TIE} + cid) AS cid
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT a.cid, t.i - 1 AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q.qv[t.i]) AS BIGINT) AS sum_q,
+           CAST(SUM(q.qv[t.i]) // COUNT(*) AS BIGINT) AS centroid_q
+    FROM assign a JOIN q USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(q.qv))) AS i) t
+    GROUP BY a.cid, dim
+    """,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means over milli-quantized
+    embeddings: assign every vector to its nearest of ``KM_K`` seed
+    centroids (integer squared-L2; deterministic ``dist·16+cid``
+    champion key breaks distance ties by centroid id), then emit the
+    update numerators — per (centroid, dim): member count, integer
+    element sum, and the floor-divided new centroid element.
+
+    This is the exact-arithmetic anchor for the clustering the ANN
+    family uses approximately (``ann_ivf_topk`` trains MLlib KMeans —
+    rows-only by nature); here every step is integer, so the full
+    assignment+update round has a value-hash oracle. Iterating is the
+    caller's loop: feed ``centroid_q`` back in as the next seeds.
+
+    Scale: the seed set is O(k·dim) and BROADCASTS (plan test);
+    assignment is a map-side k-fanout + one ``vec_id`` aggregate whose
+    partitioning the quantized frame already has (load helper
+    repartitions on vec_id, so the join back is co-partitioned); the
+    update is the posexplode + (cid, dim) partial-aggregate shape of
+    ``embedding_lang_centroids`` — map-side combine moves k·dim rows
+    per partition, never n·dim."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * KM_Q + F.lit(0.5))
+                   .cast("long"))
+    q = e.select("vec_id", qv.alias("qv"))
+    seeds = (q.filter(F.col("vec_id") < KM_K)
+             .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
+    diff_sq = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff_sq, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+    pairs = (q.crossJoin(F.broadcast(seeds))
+             .select("vec_id", "cid",
+                     (dist * KM_TIE + F.col("cid")).alias("key")))
+    assign = (pairs.groupBy("vec_id")
+              .agg(F.min_by("cid", F.col("key")).alias("cid")))
+    return (q.join(assign, "vec_id")
+            .select("cid", F.posexplode("qv").alias("dim", "vq"))
+            .groupBy("cid", "dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("vq").cast("bigint").alias("sum_q"),
+                 F.expr("sum(vq) div count(1)").cast("bigint")
+                  .alias("centroid_q")))

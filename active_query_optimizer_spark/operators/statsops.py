@@ -669,3 +669,59 @@ def stats_reservoir_sample_profile(spark: SparkSession,
                  F.sum("cents").cast("bigint").alias("sum_cents"),
                  F.min("cents").cast("bigint").alias("min_cents"),
                  F.max("cents").cast("bigint").alias("max_cents")))
+
+
+@register(
+    "stats_revenue_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM cust
+    )
+    SELECT CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
+           CAST(MAX(n) * SUM(cents) AS BIGINT) AS gini_den,
+           CAST(MAX(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def stats_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration harvest: the Gini coefficient of
+    per-customer revenue as an exact integer fraction
+    ``Σ(2i−n−1)·x_i / (n·Σx_i)`` over ascending-sorted revenues — the
+    skew diagnostic that tells a partitioner/planner whether a
+    key-partitioned aggregate will be dominated by a few heavy keys
+    (Gini → 1) or is safely uniform (→ 0). The division is the
+    consumer's; both terms are exact BIGINTs.
+
+    Determinism: ties in revenue contribute ``Σ(2i−n−1)`` over a
+    contiguous rank block times the shared value — independent of the
+    order *within* the tie block — but the unique ``o_custkey``
+    tie-break still makes row_number itself reproducible.
+
+    Scale: one key aggregate (partial+final), then a single global
+    ascending sort of the per-customer frame — the sorted frame is
+    key-cardinality-sized, not fact-sized. Past ~10⁹ keys the rank
+    weights outgrow int64 (n²·x_max); switch the two sums to
+    DECIMAL(38,0) or rank against sketch-derived quantile boundaries
+    (``stats_price_deciles`` anchors that lane)."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+                .cast("bigint").alias("cents")))
+    wo = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    wall = Window.partitionBy()
+    ranked = (cust.withColumn("i", F.row_number().over(wo))
+              .withColumn("n", F.count(F.lit(1)).over(wall)))
+    return (ranked.agg(
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+         .cast("bigint").alias("gini_num"),
+        (F.max("n") * F.sum("cents")).cast("bigint").alias("gini_den"),
+        F.max("n").cast("bigint").alias("n_customers")))

@@ -277,3 +277,46 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("prev_doc_id").isNotNull())
             .select("doc_id", "prev_doc_id", "lang",
                     F.levenshtein("pfx", "prev_pfx").alias("edit_dist")))
+
+
+@register(
+    "text_vocab_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({tt.tokens_sql('text')}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT source, token, COUNT(*) AS freq
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+    FROM tf GROUP BY source
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth harvest per source (the Heaps'-law profile):
+    total token count, distinct vocabulary size, and hapax legomena
+    (frequency-1 tokens). The vocabulary/hapax trajectory is the cheap
+    corpus-health signal — OCR noise and boilerplate both bend it
+    (noise inflates hapax share; template spam crushes distinct
+    growth) — and n_distinct is the tokenizer-vocabulary sizing input.
+
+    Scale: explode once; the (source, token) aggregate min-combines
+    map-side (stopword skew absorbed before the shuffle — same shape as
+    ``quality_token_freq_score``'s frequency pass); the second
+    aggregate's key is just |sources|. Nothing quadratic; counts only,
+    all BIGINT."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("source",
+                   F.explode(tt.tokens(F.col("text"))).alias("token"))
+    tf = (tok.groupBy("source", "token")
+          .agg(F.count(F.lit(1)).alias("freq")))
+    return (tf.groupBy("source")
+            .agg(F.sum("freq").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_hapax")))

@@ -144,6 +144,16 @@ HEADLINE = [
     "stats_reservoir_sample_profile",
     "events_time_weighted_value",
     "basket_brand_pairs",
+    # round-4h additions: revenue-concentration harvest, behavioural
+    # transition matrix, RFM segmentation cube
+    "stats_revenue_gini",
+    "events_transition_matrix",
+    "orders_rfm_segments",
+    # round-4i additions: vocabulary-growth harvest, burst screening,
+    # exact one-step k-means
+    "text_vocab_stats",
+    "events_burst_users",
+    "embedding_kmeans_step",
 ]
 
 

@@ -240,3 +240,100 @@ def test_basket_pairs_bounded_by_marginals(spark):
     for r in rows:
         assert r.brand_a < r.brand_b
         assert r.n_orders <= min(marg[r.brand_a], marg[r.brand_b])
+
+
+def test_gini_matches_numpy_replica(spark):
+    """Integer Gini fraction equals the float formula computed in numpy
+    (within float tolerance), and sits in [0, 1)."""
+    import numpy as np
+
+    row = QUERIES["stats_revenue_gini"](spark, SF_SMALL).collect()[0]
+    from active_query_optimizer_spark.catalog import load_table
+
+    cents = np.sort(np.array(
+        [r.cents for r in
+         load_table(spark, SF_SMALL, "orders")
+         .groupBy("o_custkey")
+         .agg(F.sum(F.expr(
+             "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+             .alias("cents")).collect()], dtype=np.int64))
+    n = len(cents)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * cents).sum())
+    den = int(n * cents.sum())
+    assert (row.gini_num, row.gini_den, row.n_customers) == (num, den, n)
+    g = row.gini_num / row.gini_den
+    assert 0.0 <= g < 1.0
+
+
+def test_transition_totals_identity(spark):
+    """Σ transitions == n_events − n_users (each user stream of length k
+    yields exactly k−1 consecutive pairs)."""
+    rows = QUERIES["events_transition_matrix"](spark, SF_SMALL).collect()
+    total = sum(r.n_transitions for r in rows)
+    from active_query_optimizer_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_rfm_cells_partition_customers(spark):
+    """Cells tile the customer set exactly; every axis marginal is an
+    NTILE partition (bucket sizes differ by at most 1)."""
+    rows = QUERIES["orders_rfm_segments"](spark, SF_SMALL).collect()
+    n_cust = (spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+              .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in rows) == n_cust
+    for axis in ("r_bucket", "f_bucket", "m_bucket"):
+        marg: dict = {}
+        for r in rows:
+            b = getattr(r, axis)
+            assert 1 <= b <= 4
+            marg[b] = marg.get(b, 0) + r.n_customers
+        sizes = sorted(marg.values())
+        assert sizes[-1] - sizes[0] <= 1, (axis, marg)
+
+
+def test_vocab_stats_identities(spark):
+    """n_hapax ≤ n_distinct ≤ n_tokens per source, and Σ n_tokens equals
+    the corpus token count."""
+    rows = QUERIES["text_vocab_stats"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_hapax <= r.n_distinct <= r.n_tokens, r
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.functions import texttools as tt
+
+    total = (load_table(spark, SF_SMALL, "documents")
+             .select(F.size(tt.tokens(F.col("text"))).alias("n"))
+             .agg(F.sum("n")).collect()[0][0])
+    assert sum(r.n_tokens for r in rows) == total
+
+
+def test_burst_flag_fires_at_sf001(spark):
+    """The screen must catch somebody at the driver's scale factor —
+    a flag that never fires proves nothing."""
+    rows = QUERIES["events_burst_users"](spark, SF_MED).collect()
+    flagged = [r for r in rows if r.is_burst]
+    assert flagged, "no burst users flagged at sf0.01"
+    for r in rows:
+        assert r.max_per_hour <= r.n_events
+
+
+def test_kmeans_step_partitions_vectors_and_broadcasts_seeds(spark):
+    """Every vector lands in exactly one centroid (Σn over cids at any
+    dim == |embeddings|, and n is dim-invariant per cid); all cids are
+    seed ids; the seed side of the assignment join is broadcast."""
+    df = QUERIES["embedding_kmeans_step"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan[:2000]
+    rows = df.collect()
+    n_vec = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    by_cid: dict = {}
+    for r in rows:
+        assert 0 <= r.cid < 8
+        by_cid.setdefault(r.cid, set()).add(r.n)
+    assert all(len(v) == 1 for v in by_cid.values())  # n dim-invariant
+    assert sum(next(iter(v)) for v in by_cid.values()) == n_vec

@@ -50,6 +50,10 @@ NESTED_LOOP_BY_DESIGN = {
     # single-row grand-total frame broadcast onto the per-part aggregate
     # (Q11's HAVING-against-scalar-subquery bar)
     "tpch_q11_important_parts",
+    # broadcast k-row seed-centroid frame × corpus — the deliberate
+    # k-fanout of Lloyd assignment (same class as ann_cosine_topk's
+    # broadcast query set)
+    "embedding_kmeans_step",
 }
 
 
