@@ -91,7 +91,7 @@ _DRIVER_ORDER = [
     "basket_brand_pairs",
     "stats_revenue_gini", "events_transition_matrix",
     "orders_rfm_segments", "text_vocab_stats", "events_burst_users",
-    "embedding_kmeans_step",
+    "embedding_kmeans_step", "orders_yoy_monthly_growth",
     # --- remaining round-4b additions (no driver row yet — first in
     #     line for round 5 alongside the r02-only block below)
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",

@@ -800,3 +800,57 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("cnt").cast("bigint").alias("max_per_hour"),
                  F.sum("cnt").cast("bigint").alias("n_events"),
                  (F.max("cnt") > BURST_PER_HOUR).alias("is_burst")))
+
+
+@register(
+    "orders_yoy_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY yr, mon
+    )
+    SELECT yr, mon, cents, n_orders, prev_cents,
+           cents - prev_cents AS delta_cents
+    FROM (
+      SELECT yr, mon, cents, n_orders,
+             LAG(cents) OVER (PARTITION BY mon ORDER BY yr) AS prev_cents
+      FROM monthly
+    ) WHERE prev_cents IS NOT NULL
+    """,
+)
+def orders_yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per calendar month — the period-over-period
+    reporting shape (this January vs last January): monthly integer-cents
+    revenue, then ``LAG`` over years *within* the month-of-year
+    partition. No self-join — the naive formulation joins the monthly
+    aggregate to itself on ``(yr-1, mon)``; partitioning by ``mon`` and
+    lagging over ``yr`` gets the same alignment from the frame the
+    aggregate already produced. The delta stays integer; the growth
+    ratio is the consumer's division.
+
+    Scale: the fact table collapses to |years|×12 rows in one
+    partial+final aggregate; the window runs on that tiny frame.
+    (yr, mon) is unique within each partition, so the lag needs no
+    tie-break."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"))
+        .agg(F.sum(F.expr("cast(cast(o_totalprice as decimal(18,2))"
+                          " * 100 as bigint)")).cast("bigint").alias("cents"),
+             F.count(F.lit(1)).alias("n_orders")))
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return (monthly.select("yr", "mon", "cents", "n_orders",
+                           prev.alias("prev_cents"))
+            # YoY is undefined without a prior year; dropping the NULL
+            # rows also keeps every output column solid BIGINT (nullable
+            # ints canonicalize as floats in the driver's hash path)
+            .where(F.col("prev_cents").isNotNull())
+            .withColumn("delta_cents",
+                        F.col("cents") - F.col("prev_cents")))

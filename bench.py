@@ -154,6 +154,7 @@ HEADLINE = [
     "text_vocab_stats",
     "events_burst_users",
     "embedding_kmeans_step",
+    "orders_yoy_monthly_growth",
 ]
 
 

@@ -337,3 +337,26 @@ def test_kmeans_step_partitions_vectors_and_broadcasts_seeds(spark):
         by_cid.setdefault(r.cid, set()).add(r.n)
     assert all(len(v) == 1 for v in by_cid.values())  # n dim-invariant
     assert sum(next(iter(v)) for v in by_cid.values()) == n_vec
+
+
+def test_yoy_alignment_matches_self_join(spark):
+    """The lag-within-month form must equal the naive (yr-1, mon)
+    self-join alignment."""
+    rows = {(r.yr, r.mon): (r.prev_cents, r.delta_cents) for r in
+            QUERIES["orders_yoy_monthly_growth"](spark, SF_SMALL).collect()}
+    assert rows
+    from active_query_optimizer_spark.catalog import load_table
+
+    monthly = {(r.yr, r.mon): r.cents for r in
+               load_table(spark, SF_SMALL, "orders")
+               .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                        F.month("o_orderdate").cast("bigint").alias("mon"))
+               .agg(F.sum(F.expr(
+                   "cast(cast(o_totalprice as decimal(18,2)) * 100"
+                   " as bigint)")).cast("bigint").alias("cents")).collect()}
+    for (yr, mon), cents in monthly.items():
+        if (yr - 1, mon) in monthly:
+            assert rows[(yr, mon)] == (monthly[(yr - 1, mon)],
+                                       cents - monthly[(yr - 1, mon)])
+        else:
+            assert (yr, mon) not in rows
