@@ -29,56 +29,22 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). Round-4 layout
-#: (staleness rule: after this round no query's newest green driver row
-#: should be older than round 2):
-#: - the 20 basics whose newest green row is ROUND 1 (three rounds stale)
-#:   come back in-window first;
-#: - the 10 round-4 additions need their first row;
-#: - ``ann_ivf_pq_topk``'s training collect changed this round (absolute
-#:   cap) → fresh row;
-#: - the remaining 19 slots go to the OLDEST r02-only entries (joins/
-#:   text/dedup families); the 25 r02-only entries that don't fit keep
-#:   their r02 rows (two rounds old at r4's close — the staleness bound)
-#:   and rotate in next round;
-#: - every r03-green entry rotates to the tail (freshest rows on record).
+#: Driver-facing registration order (see module docstring). Round-5 layout
+#: (round-4 verdict item #1: spend the ENTIRE window on the 36 registered
+#: queries that have never had a driver correctness row):
+#: - the 24 round-4d..4k additions (sweep-green at two SFs, tested, but
+#:   never seen by the driver's independent oracle) come first;
+#: - then the 12 round-4b additions in the same never-tested state;
+#: - the remaining 14 slots go to the STALEST r02-only entries (their
+#:   newest green rows are three rounds old at r5's close — the linter
+#:   bound in tests/test_driver_rotation.py);
+#: - everything r03/r04-green rotates to the tail (freshest rows first).
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
-#: sweep (SWEEP_r4.json) re-verifies the whole registry every round.
+#: sweep (``tools/driver_sim.py`` → SWEEP_r5.json, sf0.01 + sf0.1)
+#: re-verifies the whole registry every round.
 _DRIVER_ORDER = [
-    # --- r01-stale basics, back in-window (20)
-    "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
-    "pred_not_like", "pred_between", "intersect_except_keys",
-    "date_trunc_monthly", "pred_eq_neq", "distinct_count",
-    "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
-    "min_projection_job_style", "groupby_having", "pred_null_checks",
-    "pred_like", "case_when_bucket_agg", "pred_in", "pred_epoch_int",
-    "count_min_multi_agg",
-    # --- round-4 additions: first driver rows (17; the HLL entry is
-    #     rows-only — sketch estimates are engine-specific by design)
-    "stats_column_cardinalities_approx", "decontam_substring_containment",
-    "window_rolling_7day_avg", "latest_order_per_customer",
-    "scalar_subquery_small_qty", "events_unpivot_daily",
-    "stats_null_profile", "embedding_lang_centroids",
-    "graph_triangle_count", "upsert_snapshot_apply",
-    "tpch_q10_returned_items", "events_first_touch",
-    "stats_price_deciles", "cluster_centroid_vectors",
-    "tpch_q7_nation_volume", "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_share", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q22_lapsed_high_balance",
-    # --- source changed this round: PQ training collect capped; the CC /
-    #     PageRank family gained the size-adaptive local fast path (4)
-    "ann_ivf_pq_topk",
-    "dedup_minhash_clusters", "dedup_embedding_clusters",
-    "docrank_neardup_pagerank",
-    # --- round-4b additions (decision-support set II): the six most
-    #     structurally novel get their first driver row now (6)
-    "tpch_q21_waiting_supplier", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier", "tpch_q2_min_cost_supplier",
-    "tpch_q16_supplier_variety", "tpch_q8_market_share",
-    # ---------------- driver window boundary (50) ----------------
-    # --- round-4d/4e/4f/4g additions (no driver row yet — verified by
-    #     the oracle sweep + SWEEP_r4.json; head of the round-5 queue)
+    # --- round-4d..4k additions: first driver rows ever (24)
     "dedup_paragraph_spans", "dedup_paragraph_rewrite",
     "text_chunk_overlap", "sample_temperature_mixture",
     "stats_corr_qty_discount", "stats_length_percentiles_approx",
@@ -92,23 +58,32 @@ _DRIVER_ORDER = [
     "stats_revenue_gini", "events_transition_matrix",
     "orders_rfm_segments", "text_vocab_stats", "events_burst_users",
     "embedding_kmeans_step", "orders_yoy_monthly_growth",
-    # --- remaining round-4b additions (no driver row yet — first in
-    #     line for round 5 alongside the r02-only block below)
+    # --- round-4b additions: first driver rows ever (12)
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q9_product_profit", "tpch_q20_promo_volume_suppliers",
     "text_edit_distance_pairs", "stats_median_disc_per_group",
     "sample_stratified_proportional", "order_gap_stats_per_customer",
     "events_trailing_7d_active_users", "window_dense_rank_ties",
     "tpch_q11_important_parts", "full_outer_reconciliation",
-    # --- r02-only entries displaced by the round-4b in-window block
-    #     (their r02 rows stand; re-verified by SWEEP_r4.json)
+    # --- source changed this round (forced-broadcast removal, round-4
+    #     verdict item #2): fresh rows prove the threshold-driven plans
+    #     keep their exact-oracle greens (q9/q20/q11/basket_brand_pairs/
+    #     dq_constraint_report also changed but are already in-window
+    #     above) (4)
+    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+    "tpch_q16_supplier_variety", "join_bloom_prefilter_count",
+    # --- stalest r02-only entries (newest rows are round 2 — the
+    #     staleness bound at r5 close); 10 slots remain in the window
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
     "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
-    # --- r02-only entries that did not fit this round (38; their r02
-    #     rows are exactly two rounds old — first in line for round 5)
     "text_token_stats", "text_quality_scores", "hypertable_rollup_daily",
-    "text_bpe_token_count", "text_langid", "text_fingerprint",
-    "text_lang_summary", "text_pattern_flags", "text_top_terms",
+    "text_bpe_token_count",
+    # ---------------- driver window boundary (50) ----------------
+    # --- r02-only entries that did not fit (34; first in line for
+    #     round 6 — the rotation-debt linter tracks their age)
+    "text_langid", "text_fingerprint",
+    "text_lang_summary", "text_pattern_flags",
+    "text_top_terms",
     "dedup_simhash_pairs", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "ann_cosine_topk", "multimodal_bytes_features",
@@ -124,7 +99,30 @@ _DRIVER_ORDER = [
     "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
     "dedup_minhash_lsh", "pack_sequences_budget",
     "stream_sessionize_events",
-    # --- r03-green, rotated to the tail (49)
+    # --- r04-green (the round-4 window), rotated behind the r02 debt
+    "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
+    "pred_not_like", "pred_between", "intersect_except_keys",
+    "date_trunc_monthly", "pred_eq_neq", "distinct_count",
+    "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
+    "min_projection_job_style", "groupby_having", "pred_null_checks",
+    "pred_like", "case_when_bucket_agg", "pred_in", "pred_epoch_int",
+    "count_min_multi_agg",
+    "stats_column_cardinalities_approx", "decontam_substring_containment",
+    "window_rolling_7day_avg", "latest_order_per_customer",
+    "scalar_subquery_small_qty", "events_unpivot_daily",
+    "stats_null_profile", "embedding_lang_centroids",
+    "graph_triangle_count", "upsert_snapshot_apply",
+    "tpch_q10_returned_items", "events_first_touch",
+    "stats_price_deciles", "cluster_centroid_vectors",
+    "tpch_q7_nation_volume", "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_share", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_lapsed_high_balance",
+    "ann_ivf_pq_topk",
+    "dedup_minhash_clusters", "dedup_embedding_clusters",
+    "docrank_neardup_pagerank",
+    "tpch_q21_waiting_supplier", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    # --- r03-green, tail (48)
     "rollup_agg", "scan_filter_count", "projection_join",
     "hash_join_count", "merge_join_count", "nested_loop_theta_count",
     "self_join_count", "pred_or",
@@ -147,7 +145,7 @@ _DRIVER_ORDER = [
     "tpch_q3_shipping_priority", "tpch_q5_region_volume",
     "window_running_total",
     "stats_join_size_exact", "stats_join_size_cm_sketch",
-    "stats_key_skew_profile", "join_bloom_prefilter_count",
+    "stats_key_skew_profile",
     "events_pivot_daily", "events_resample_hourly_gapfill",
     "embedding_outlier_flags",
 ]

@@ -620,8 +620,10 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders containing both — the pairwise support table association-rule
     mining (and co-purchase recommenders) start from.
 
-    Scale shape: the brand lookup broadcasts (``part`` is the small
-    dim), the per-order brand set collapses through DISTINCT on
+    Scale shape: the brand lookup joins ``part``, which grows with SF,
+    so its strategy is left to size stats/AQE (broadcast at bench SFs,
+    shuffled at 100 TB — no forced hint); the per-order brand set
+    collapses through DISTINCT on
     ``(orderkey, brand)`` BEFORE pairing (dedup first — pairing raw
     line items would square the per-order fan-out), and the pair
     self-join is co-partitioned on ``orderkey`` (the DISTINCT's shuffle
@@ -633,7 +635,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded pair key."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    ob = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    ob = (l.join(p, l["l_partkey"] == p["p_partkey"])
           .select(F.col("l_orderkey").alias("ok"),
                   F.col("p_brand").alias("brand"))
           .distinct())

@@ -16,9 +16,19 @@ HAVING over a join. Every entry is a declarative DataFrame plan with an
 exact DuckDB oracle.
 
 Scale notes (100 TB): all plans are scan-pruned (date/type predicates
-push to parquet), join bounded dims via broadcast, and decorrelate every
-correlated subquery into ONE pass over the fact table plus an equi-join
-— no per-row subquery re-execution anywhere. The only full-fact
+push to parquet), and decorrelate every correlated subquery into ONE
+pass over the fact table plus an equi-join — no per-row subquery
+re-execution anywhere. Broadcast policy: only the fixed-cardinality
+dims (nation = 25 rows, region = 5 rows at EVERY scale factor) and
+single-row scalar frames carry an explicit ``F.broadcast`` hint.
+Frames derived from ``part``/``supplier``/``customer`` grow with the
+scale factor, so their join strategy is left to
+``spark.sql.autoBroadcastJoinThreshold`` + AQE: at bench SFs the size
+stats still pick broadcast (same physical plan), while at 100 TB the
+planner degrades gracefully to a shuffled join instead of OOMing an
+executor on a forced billion-row build side
+(``tests/test_plan_shapes.py::test_no_forced_broadcast_of_sf_growing_tables``
+pins the policy for every registered query). The only full-fact
 aggregations group on the join key (l_orderkey / l_suppkey / l_partkey),
 so AQE coalesces or skew-splits the single shuffle each one needs.
 """
@@ -84,7 +94,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     then equi-join the offers back on (partkey, price = min). Region
     restriction applies to BOTH the aggregate and the probe side — the
     min is taken only over EUROPE offers, matching Q2's correlated
-    region condition. nation/region broadcast; the offers→best join
+    region condition. nation/region broadcast (fixed 25/5 rows); the
+    EUROPE-supplier and filtered-part frames grow with SF so their
+    strategy is size-stat/AQE-driven, not hinted. The offers→best join
     keys on l_partkey so the group-by exchange is reused by the probe.
     """
     s = load_table(spark, sf_dir, "supplier")
@@ -94,8 +106,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
                .select("s_suppkey"))
     li = load_table(spark, sf_dir, "lineitem")
-    sold = (li.join(F.broadcast(eu_supp),
-                    li.l_suppkey == eu_supp.s_suppkey, "left_semi")
+    sold = (li.join(eu_supp, li.l_suppkey == eu_supp.s_suppkey, "left_semi")
             .select("l_partkey", "l_suppkey",
                     F.expr("cast(cast(l_extendedprice as decimal(18,2)) "
                            "* 100 as bigint)").alias("price_cents")))
@@ -107,7 +118,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
     return (sold.join(best, (sold.l_partkey == best.best_partkey)
                       & (sold.price_cents == best.min_price_cents))
-            .join(F.broadcast(p), sold.l_partkey == p.p_partkey)
+            .join(p, sold.l_partkey == p.p_partkey)
             .join(load_table(spark, sf_dir, "supplier"),
                   sold.l_suppkey == F.col("s_suppkey"))
             .select("p_partkey",
@@ -227,10 +238,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ONE conditional-aggregation pass (the ratio is left to the
     consumer; a float division would break the exact value-hash).
 
-    Plan shape: every dimension (part-filtered, customer-nation-region
-    chain, supplier-nation) broadcasts; the fact table flows through a
-    single broadcast-join chain with zero pre-aggregation shuffles, then
-    one grouped exchange on the year."""
+    Plan shape: the fixed dims (nation×2, region) broadcast by hint;
+    the part/customer/supplier sides grow with SF, so their strategy is
+    size-stat/AQE-driven — at bench SFs the fact table still flows
+    through a single broadcast-join chain with zero pre-aggregation
+    shuffles, then one grouped exchange on the year."""
     _utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -248,7 +260,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("supp_nation"))
     nation_rev = F.when(F.col("supp_nation") == "NATION_5",
                         _rev()).otherwise(F.lit(0).cast(_REV_DEC))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    return (li.join(p, li.l_partkey == p.p_partkey, "left_semi")
             .join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -286,10 +298,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is preserved exactly).
 
     A contains-LIKE can't prune at the scan, so the part filter is a
-    post-scan dimension reduction feeding a broadcast semi-join — the
-    optimizer must know to keep the tiny filtered dim on the build
-    side. Orders joins on the fact's key; the group-by year+nation is
-    the only wide exchange."""
+    post-scan dimension reduction feeding a semi-join whose build side
+    Catalyst keeps small from size stats (no forced hint — the filtered
+    part set grows with SF). Orders joins on the fact's key; the
+    group-by year+nation is the only wide exchange."""
     _utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select(
@@ -298,7 +310,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%widget%")).select("p_partkey")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    return (li.join(p, li.l_partkey == p.p_partkey, "left_semi")
             .join(o, li.l_orderkey == o.o_orderkey)
             .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -420,11 +432,12 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     the schema has no s_comment). The part↔supplier relation is again
     derived from lineitem in place of partsupp.
 
-    Shape: NOT IN over a subquery → anti join (the excluded set is
-    tiny and broadcasts; Catalyst's null-aware anti join is safe here
-    because s_suppkey is non-null), dimension IN-list + <> filters
-    push into the part scan, and COUNT(DISTINCT) expands to the
-    two-phase distinct-then-count aggregate."""
+    Shape: NOT IN over a subquery → anti join (the excluded set is a
+    supplier-fraction, SF-growing — strategy left to size stats;
+    Catalyst's null-aware anti join is safe here because s_suppkey is
+    non-null), dimension IN-list + <> filters push into the part scan,
+    and COUNT(DISTINCT) expands to the two-phase distinct-then-count
+    aggregate."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
@@ -432,9 +445,8 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0).select("s_suppkey")
-    return (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
-                    "left_anti")
-            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(p, li.l_partkey == p.p_partkey)
             .groupBy("p_brand", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.col("supplier_cnt").desc(),
@@ -470,17 +482,17 @@ def tpch_q20_promo_volume_suppliers(spark: SparkSession,
 
     Both INs decorrelate to semi joins: part-name LIKE 'small%' is a
     prefix pattern (pushable as a range), the filtered partkey set
-    broadcasts into the fact scan, the per-supplier quantity aggregate
-    groups the reduced fact once, and the surviving supplier keys
-    semi-join the supplier table."""
+    semi-joins the fact scan (SF-growing — strategy left to size
+    stats/AQE), the per-supplier quantity aggregate groups the reduced
+    fact once, and the surviving supplier keys semi-join the supplier
+    table."""
     _utc(spark)
     small = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00")))
-    movers = (li.join(F.broadcast(small), li.l_partkey == small.p_partkey,
-                      "left_semi")
+    movers = (li.join(small, li.l_partkey == small.p_partkey, "left_semi")
               .groupBy("l_suppkey")
               .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
               .filter(F.col("q") > 50).select("l_suppkey"))
@@ -589,17 +601,18 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fraction bar is cross-multiplied to integers
     (``part_cents * 1000 > total_cents``) so neither engine divides;
     the single-row total broadcasts onto the per-part frame (the same
-    scalar-frame pattern as Q15/Q22). One exchange: the nation filter
-    semi-joins (broadcast) before the only wide shuffle on l_partkey;
-    the total re-aggregates the already-grouped frame, not the fact."""
+    scalar-frame pattern as Q15/Q22). One exchange: the nation-supplier
+    filter semi-joins (supplier-derived, so size-stat-driven) before
+    the only wide shuffle on l_partkey; the total re-aggregates the
+    already-grouped frame, not the fact."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_7")
     nat_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
                 .select("s_suppkey"))
     li = load_table(spark, sf_dir, "lineitem")
-    part_rev = (li.join(F.broadcast(nat_supp),
-                        li.l_suppkey == nat_supp.s_suppkey, "left_semi")
+    part_rev = (li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey,
+                        "left_semi")
                 .groupBy("l_partkey")
                 .agg(F.sum(F.expr(
                     "cast(cast(l_extendedprice as decimal(18,2)) * 100 "

@@ -96,8 +96,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       more pass;
     - **one aggregate** on the key covers uniqueness (``HAVING cnt>1``,
       partial-agg map combine);
-    - **one broadcast anti-join** covers referential integrity
-      (customer is the small side).
+    - **one anti-join** covers referential integrity (customer grows
+      with SF, so the build-side strategy is left to size stats/AQE —
+      broadcast at bench SFs, shuffled at 100 TB; no forced hint).
 
     The freshness check (no orders at/after 1999-01-01) is deliberately
     chosen to FAIL on this data so the report exercises both statuses; a
@@ -129,8 +130,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint").alias("violations"))
            .select(F.lit("unique_orderkey").alias("check_name"),
                    "violations"))
-    fk = (o.join(F.broadcast(c),
-                 o["o_custkey"] == c["c_custkey"], "left_anti")
+    fk = (o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
           .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
           .select(F.lit("fk_custkey_customer").alias("check_name"),
                   "violations"))

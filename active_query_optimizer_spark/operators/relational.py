@@ -1243,8 +1243,11 @@ def join_bloom_prefilter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "left")
                .withColumn(f"in{i}", F.col(f"p{i}").isNotNull())
                .drop(f"p{i}"))
+    # ground-truth hit check: dim's full key set grows with SF, so no
+    # forced broadcast — size stats/AQE pick the strategy (the bounded
+    # pos frames above keep their hint: distinct positions ≤ BLOOM_M)
     dk = dim.select("k", F.lit(True).alias("hit0"))
-    out = (out.join(F.broadcast(dk), "k", "left")
+    out = (out.join(dk, "k", "left")
            .withColumn("hit", F.coalesce(F.col("hit0"), F.lit(False)))
            .withColumn("pass",
                        F.col("in0") & F.col("in1") & F.col("in2")))

@@ -57,6 +57,101 @@ NESTED_LOOP_BY_DESIGN = {
 }
 
 
+#: queries whose broadcast HINT subtree scans an SF-growing table but is
+#: provably bounded — each with the bound that justifies it. Everything
+#: else must not force-broadcast a frame whose lineage includes a table
+#: that grows with the scale factor (at 100 TB a forced broadcast of a
+#: billion-row build side is an executor OOM, not a plan choice).
+BOUNDED_BROADCAST_BY_DESIGN = {
+    # fixed-size query/seed sets selected by a LITERAL key predicate —
+    # cardinality is a constant at every scale factor
+    "ann_cosine_topk": "query set = vec_id < N_QUERIES (constant rows)",
+    "knn_label_vote": "composes ann_cosine_topk's bounded query set",
+    "embedding_kmeans_step": "seed set = vec_id < KM_K (k rows)",
+    # single-row global-aggregate scalar frames
+    "embedding_outlier_flags": "global norm-moments scalar (1 row)",
+    "stats_histogram_equiwidth": "global (min,max) bounds scalar (1 row)",
+    "tpch_q11_important_parts": "single-row grand-total scalar",
+    "tpch_q15_top_supplier": "single-row global-MAX scalar",
+    "tpch_q22_lapsed_high_balance": "single-row global-average scalar",
+    # fixed-domain grouped frames (domain does not grow with SF)
+    "events_anomaly_days": "per-event-type moments (fixed type domain)",
+    "events_trailing_7d_active_users": "observed-day spine (calendar-bounded)",
+    "sample_weighted_mix": "per-source rate frame (fixed source domain)",
+    "sample_temperature_mixture": "per-lang rate frame (fixed lang domain)",
+    # value-space-bounded distinct sets
+    "join_bloom_prefilter_count": "distinct hash positions ≤ BLOOM_M",
+    # the §2.A broadcast-join operator itself — documented as an
+    # explorer CANDIDATE (one knob setting), never the default plan
+    "broadcast_join_count": "the broadcast-strategy demo operator",
+}
+
+#: first-column prefix → table, for reading lineage out of analyzed-plan
+#: Relation nodes (the analyzed plan prints columns, not paths)
+_TABLE_BY_FIRST_COL = {
+    "l_": "lineitem", "o_": "orders", "c_": "customer", "s_": "supplier",
+    "p_": "part", "n_": "nation", "r_": "region",
+}
+SF_GROWING_TABLES = {"lineitem", "orders", "customer", "supplier", "part",
+                     "events", "documents", "embeddings"}
+
+
+def _relation_table(line: str) -> str:
+    first = line.split("Relation [", 1)[1].split(",", 1)[0].split("#")[0]
+    for pref, tab in _TABLE_BY_FIRST_COL.items():
+        if first.startswith(pref):
+            return tab
+    if first.startswith("event"):
+        return "events"
+    if first.startswith("doc"):
+        return "documents"
+    return "embeddings"
+
+
+def _node_start(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-|":
+        i += 1
+    return i
+
+
+def _forced_broadcast_sf_tables(df) -> set:
+    """Tables from SF_GROWING_TABLES scanned inside any
+    ``ResolvedHint (strategy=broadcast)`` subtree of df's analyzed plan."""
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    bad: set = set()
+    for i, ln in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast" not in ln:
+            continue
+        depth = _node_start(ln)
+        for sub in lines[i + 1:]:
+            if _node_start(sub) <= depth:
+                break
+            if "Relation [" in sub:
+                tab = _relation_table(sub)
+                if tab in SF_GROWING_TABLES:
+                    bad.add(tab)
+    return bad
+
+
+def test_no_forced_broadcast_of_sf_growing_tables(spark):
+    """Round-4 verdict item: no query may FORCE-broadcast a frame whose
+    lineage scans an SF-growing table (part/supplier/customer/… all grow
+    with the scale factor; nation=25 and region=5 rows do not). Bounded
+    exceptions (scalar frames, literal-key-limited sets, fixed domains)
+    are enumerated with their bound. Catalyst may still CHOOSE broadcast
+    from size stats at bench SFs — that's runtime's call and degrades
+    gracefully at scale; the F.broadcast() hint does not."""
+    offenders = {}
+    for name in QUERIES:
+        if name in BOUNDED_BROADCAST_BY_DESIGN:
+            continue
+        bad = _forced_broadcast_sf_tables(QUERIES[name](spark, SF_SMALL))
+        if bad:
+            offenders[name] = sorted(bad)
+    assert not offenders, f"forced SF-growing broadcasts: {offenders}"
+
+
 def _plan(spark, name: str) -> str:
     return (QUERIES[name](spark, SF_SMALL)
             ._jdf.queryExecution().executedPlan().toString())
