@@ -128,9 +128,12 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             "n_queries": 0, "default_sec": 0.0, "chosen_sec": 0.0,
             "best_sec": 0.0})
         s["n_queries"] += 1
-        s["default_sec"] = round(s["default_sec"] + q["default_ms"] / 1e3, 4)
-        s["chosen_sec"] = round(s["chosen_sec"] + q["chosen_ms"] / 1e3, 4)
-        s["best_sec"] = round(s["best_sec"] + q["best_ms"] / 1e3, 4)
+        s["default_sec"] += q["default_ms"] / 1e3
+        s["chosen_sec"] += q["chosen_ms"] / 1e3
+        s["best_sec"] += q["best_ms"] / 1e3
+    for s in by_shape.values():  # round once, after accumulation
+        for k in ("default_sec", "chosen_sec", "best_sec"):
+            s[k] = round(s[k], 4)
 
     # deployment series: the SAME explorer labels sliced into the
     # reference's per-batch train/valid splits (one train + one valid

@@ -394,17 +394,21 @@ def events_trailing_7d_active_users(spark: SparkSession,
     Scale: the heavy dedup (events → day×user) is ONE exact shuffle that
     shrinks 100 TB of events to |days|×|users| keys at most; the 7×
     fan-out happens on the collapsed pairs, never raw events, and the
-    spine broadcast is bounded by the calendar. At larger windows (or
-    per-key sketch reuse) the approximate path merges per-day HLL
-    sketches instead of re-counting — `stats_column_cardinalities_approx`
-    is that lane's anchor; this entry is the exact one."""
+    spine broadcast is bounded by the calendar. The spine derives
+    straight from the events scan's day column (distinct over |days|
+    values — map-side partial agg collapses it for pennies), NOT from
+    ``du``, so the expensive distinct-(day,user) reduction runs exactly
+    once for the probe side instead of twice (once more to feed the
+    broadcast). At larger windows (or per-key sketch reuse) the
+    approximate path merges per-day HLL sketches instead of
+    re-counting — `stats_column_cardinalities_approx` is that lane's
+    anchor; this entry is the exact one."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    du = (ev.select(
-        F.datediff(F.to_date(F.date_trunc("day", "ts")),
-                   F.lit("1995-01-01").cast("date")).alias("day_num"),
-        "user_id").distinct())
-    spine = du.select(F.col("day_num").alias("anchor")).distinct()
+    day_num = F.datediff(F.to_date(F.date_trunc("day", "ts")),
+                         F.lit("1995-01-01").cast("date"))
+    du = ev.select(day_num.alias("day_num"), "user_id").distinct()
+    spine = ev.select(day_num.alias("anchor")).distinct()
     return (du.join(F.broadcast(spine),
                     F.col("day_num").between(F.col("anchor") - 6,
                                              F.col("anchor")))

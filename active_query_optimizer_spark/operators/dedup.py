@@ -1029,7 +1029,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str,
             stats["mode"] = "local"
         counts = _local_bfs_hop_counts(
             edges, BFS_SEED_MOD, BFS_MAX_HOPS)
-        rows = [(0, n_seeds)] + sorted(counts.items())
+        # hop-0 row only when seeds exist: the recursive-CTE oracle emits
+        # no rows at all for a seedless corpus, and the distributed loop
+        # path already degenerates to empty the same way
+        rows = ([(0, n_seeds)] if n_seeds else []) + sorted(counts.items())
         return spark.createDataFrame(rows, "hops bigint, n_docs bigint")
     if stats is not None:
         stats["mode"] = "loop"
