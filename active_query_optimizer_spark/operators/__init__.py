@@ -72,13 +72,15 @@ _DRIVER_ORDER = [
     #     above) (4)
     "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
     "tpch_q16_supplier_variety", "join_bloom_prefilter_count",
+    # --- new this round: first driver rows (2)
+    "embedding_kmeans_two_steps", "setsim_join_prefix",
     # --- stalest r02-only entries (newest rows are round 2 — the
     #     staleness bound at r5 close); 10 slots remain in the window
     "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
     "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
-    "text_token_stats", "text_quality_scores", "hypertable_rollup_daily",
-    "text_bpe_token_count",
+    "text_token_stats", "text_quality_scores",
     # ---------------- driver window boundary (50) ----------------
+    "hypertable_rollup_daily", "text_bpe_token_count",
     # --- r02-only entries that did not fit (34; first in line for
     #     round 6 — the rotation-debt linter tracks their age)
     "text_langid", "text_fingerprint",

@@ -154,6 +154,8 @@ HEADLINE = [
     "text_vocab_stats",
     "events_burst_users",
     "embedding_kmeans_step",
+    "embedding_kmeans_two_steps",
+    "setsim_join_prefix",
     "orders_yoy_monthly_growth",
 ]
 
@@ -228,6 +230,34 @@ def main() -> None:
         "runs_per_query": runs,
         "detail_file": detail_path,
     }
+    # Machine-load self-diagnosis (round-4 verdict item #5): the driver
+    # machine may be loaded (r4: 69.1 s live vs 45.2 s quiet for the same
+    # queries). BENCH_COMMITTED.json is a committed quiet-machine run of
+    # this same HEADLINE at the same SF; alongside the live `value` we
+    # emit its total over the intersecting query set (`value_committed`)
+    # and the median live/committed per-query ratio (`load_ratio_median`)
+    # so a loaded run is self-diagnosing instead of reading as a perf
+    # regression. Refresh protocol: re-run bench.py on a quiet machine
+    # and copy BENCH_DETAIL.json -> BENCH_COMMITTED.json whenever the
+    # HEADLINE list changes.
+    committed_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_COMMITTED.json")
+    try:
+        with open(committed_path) as fh:
+            committed = json.load(fh)
+        if committed.get("sf") == sf_val:
+            cq = committed.get("queries", {})
+            common = [n for n in timings if n in cq]
+            if common:
+                out["value_committed"] = round(
+                    sum(cq[n] for n in common), 4)
+                ratios = sorted(
+                    timings[n] / cq[n] for n in common if cq[n] > 0)
+                out["load_ratio_median"] = round(
+                    ratios[len(ratios) // 2], 3)
+                out["queries_committed"] = len(common)
+    except (OSError, ValueError, KeyError):
+        pass
     print(json.dumps(out))
 
 

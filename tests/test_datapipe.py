@@ -428,3 +428,89 @@ def test_triangle_count_degree_orientation_invariance(spark):
                 .collect()[0]["n_triangles"] == want)
     finally:
         real.unpersist()
+
+
+def test_neardup_pairs_one_cache_serves_graph_family(spark):
+    """Round-4 verdict item #6: the graph family shares ONE persisted LSH
+    pair frame. Running any member registers the plan-keyed cache entry;
+    every other member (and repeat invocations) addresses the same entry;
+    release_neardup_pairs drops it."""
+    from active_query_optimizer_spark.operators import dedup
+    from active_query_optimizer_spark.operators import QUERIES
+
+    dedup.release_neardup_pairs(spark, SF_SMALL)
+    probe = dedup.dedup_minhash_lsh(spark, SF_SMALL).select("doc_a", "doc_b")
+    lvl = probe.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "stale cache entry"
+    try:
+        QUERIES["graph_triangle_count"](spark, SF_SMALL).collect()
+        lvl = probe.storageLevel
+        assert lvl.useMemory or lvl.useDisk, (
+            "family member did not register the shared pair cache")
+        # a second member resolves to the SAME entry — neardup_pairs sees
+        # the cached level and does not stack another persist
+        again = dedup.neardup_pairs(spark, SF_SMALL)
+        lvl = again.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+        # and actually produces the pair rows from the cache
+        assert QUERIES["graph_bfs_hops"](spark, SF_SMALL).count() >= 1
+    finally:
+        dedup.release_neardup_pairs(spark, SF_SMALL)
+    lvl = probe.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "release did not drop entry"
+
+
+def test_setsim_prefix_filter_prunes_and_loses_nothing(spark):
+    """Round-4 verdict item #7 — pruning effectiveness + completeness:
+
+    - the prefix-filter candidate set is a small fraction of all pairs
+      (the point of the algorithm — measured 17% at sf0.01);
+    - no true match is lost: the pruned join's pair set equals the
+      brute-force shared-token join's matches (computed here in Spark,
+      independently of the DuckDB oracle).
+    """
+    from active_query_optimizer_spark.operators.dedup import (
+        SETSIM_DEN, SETSIM_NUM, _setsim_records)
+
+    rec = _setsim_records(spark, SF_SMALL)
+    n_docs = rec.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+
+    # rebuild the candidate stage exactly as the operator does
+    plen = (F.col("n")
+            - F.expr(f"({SETSIM_NUM}*n + {SETSIM_NUM}) div {SETSIM_DEN}")
+            + 1)
+    prefix = rec.select("doc_id", "n",
+                        F.explode(F.slice("toks", F.lit(1), plen)).alias("t"))
+    a = prefix.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"), "t")
+    b = prefix.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"), "t")
+    n_cand = (a.join(b, "t")
+              .filter((F.col("doc_a") < F.col("doc_b"))
+                      & (SETSIM_DEN * F.least("na", "nb")
+                         >= SETSIM_NUM * F.greatest("na", "nb")))
+              .select("doc_a", "doc_b").distinct().count())
+    assert n_cand < 0.25 * all_pairs, (n_cand, all_pairs)
+
+    # brute force in Spark: intersection counts via the full token
+    # postings join (no prefix/length pruning)
+    tok = rec.select("doc_id", F.explode("toks").alias("t"))
+    lens = rec.select("doc_id", "n")
+    xa, xb = tok.alias("xa"), tok.alias("xb")
+    inter = (xa.join(xb, (F.col("xa.t") == F.col("xb.t"))
+                     & (F.col("xa.doc_id") < F.col("xb.doc_id")))
+             .groupBy(F.col("xa.doc_id").alias("doc_a"),
+                      F.col("xb.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("com")))
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    brute = (inter.join(la, "doc_a").join(lb, "doc_b")
+             .filter(SETSIM_DEN * F.col("com")
+                     >= SETSIM_NUM * (F.col("na") + F.col("nb")
+                                      - F.col("com"))))
+    want = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    got = {(r.doc_a, r.doc_b) for r in
+           QUERIES["setsim_join_prefix"](spark, SF_SMALL).collect()}
+    assert got == want
+    assert len(got) > 0, "threshold yields no matches — test proves nothing"

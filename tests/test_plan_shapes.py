@@ -54,6 +54,9 @@ NESTED_LOOP_BY_DESIGN = {
     # k-fanout of Lloyd assignment (same class as ann_cosine_topk's
     # broadcast query set)
     "embedding_kmeans_step",
+    # the same k-fanout, twice (round-2 seeds are the k-row rolled-up
+    # centroids of round 1)
+    "embedding_kmeans_two_steps",
 }
 
 
@@ -68,6 +71,9 @@ BOUNDED_BROADCAST_BY_DESIGN = {
     "ann_cosine_topk": "query set = vec_id < N_QUERIES (constant rows)",
     "knn_label_vote": "composes ann_cosine_topk's bounded query set",
     "embedding_kmeans_step": "seed set = vec_id < KM_K (k rows)",
+    "embedding_kmeans_two_steps":
+        "round-1 seeds = vec_id < KM_K; round-2 seeds = k-row rollup "
+        "of round-1's (cid,dim) update frame",
     # single-row global-aggregate scalar frames
     "embedding_outlier_flags": "global norm-moments scalar (1 row)",
     "stats_histogram_equiwidth": "global (min,max) bounds scalar (1 row)",
