@@ -46,48 +46,57 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
                              num_queries: int, seed: int,
                              strategies: tuple[str, ...] = HINT_STRATEGIES,
                              timeout_s: float | None = LABEL_TIMEOUT_S,
-                             ) -> list[tuple[str, list[Candidate]]]:
+                             cache_dir: str | None = None,
+                             ) -> tuple[list[tuple[str, list[Candidate]]],
+                                        int]:
     """Generate a seeded workload against ``sf_dir``'s views and label each
     query by executing its plan variants. Queries whose variants collapse
     to one physical plan carry no ranking signal and are skipped (the
-    generator over-samples 2x to cover the loss)."""
+    generator over-samples 2x to cover the loss).
+
+    With ``cache_dir`` set, bundles come from the label cache when their
+    (sql, strategies, timeout, sf_dir, code-fingerprint) key is present
+    (``plans/labelcache`` — the deliberate measurement-protocol decision:
+    a grown workload mixes measurement sessions). Returns
+    ``(bundles, (cache_hits, lookups))`` — lookups counts every labeled
+    query including skipped single-plan ones; tests leave the cache off."""
     register_views(spark, sf_dir)
     rd = harvest_range_dict(spark, sf_dir)
     wl = sorted(generate_workload(spark, rd, num_sql=2 * num_queries,
                                   seed=seed).collect(),
                 key=lambda r: r["id"])
+    hits = lookups = 0
     out: list[tuple[str, list[Candidate]]] = []
     for r in wl:
-        cands = label_query(spark, r["sql"], strategies, timeout_s)
+        if cache_dir is not None:
+            from ..plans.labelcache import bundle_key, cached_label_query
+
+            key = bundle_key(r["sql"], strategies, timeout_s, sf_dir)
+            lookups += 1
+            hits += os.path.exists(
+                os.path.join(cache_dir, f"{key}.json.gz"))
+            cands = cached_label_query(spark, r["sql"], strategies,
+                                       timeout_s, sf_dir, cache_dir)
+        else:
+            cands = label_query(spark, r["sql"], strategies, timeout_s)
         if len(cands) >= 2:
             out.append((f"q{r['id']}", cands))
         if len(out) >= num_queries:
             break
-    return out
+    return out, (hits, lookups)
 
 
-def optimizer_results(spark: SparkSession, sf_dir: str,
-                      num_queries: int = 24, train_frac: float = 2 / 3,
-                      epochs: int = 30, seed: int = 7,
-                      deployment_batches: int = 5) -> dict[str, Any]:
-    """Label a generated workload, train on the front ``train_frac`` in
-    generation order (the drift framing: the past trains, the future
-    evaluates), and report held-out chosen-vs-default latencies, the
-    Spearman ranking loss, and the reference-shaped deployment series
-    (same explorer labels sliced into per-batch train/valid splits —
-    ``run_deployment`` is the ``Lero/deployment.py:16-46`` loop)."""
-    from ..pipelines.dynamic import run_deployment
-
-    bundles = label_generated_workload(spark, sf_dir, num_queries, seed)
-    if len(bundles) < 3:
-        raise ValueError(f"only {len(bundles)} rankable bundles generated")
-    n_train = max(1, int(len(bundles) * train_frac))
-    train, test = bundles[:n_train], bundles[n_train:]
-
+def _split_eval(spark: SparkSession,
+                train: list[tuple[str, list[Candidate]]],
+                test: list[tuple[str, list[Candidate]]],
+                epochs: int, seed: int) -> dict[str, Any]:
+    """Train on ``train``, score ``test``: returns the ranking losses,
+    the argmin picks and the held-out second totals — one evaluation of
+    one train/held-out split (the main split and every cross-validation
+    fold go through this same path)."""
     model = train_pairwise_from_bundles(
         [(qid, [(c.plan, float(c.exec_time_ms)) for c in cands])
          for qid, cands in train], epochs=epochs, seed=seed)
-
     rows = [(qid, i, c.to_bundle_json(), float(c.exec_time_ms))
             for qid, cands in test for i, c in enumerate(cands)]
     df = spark.createDataFrame(
@@ -99,6 +108,83 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     picked = {r["qid"]: r["candidate_idx"]
               for r in choose_best(scored).collect()}
     scored.unpersist()
+    tot = {"default": 0.0, "chosen": 0.0, "best": 0.0}
+    for qid, cands in test:
+        times = [float(c.exec_time_ms) for c in cands]
+        tot["default"] += next(t for c, t in zip(cands, times)
+                               if c.variant == "default") / 1e3
+        tot["chosen"] += times[picked[qid]] / 1e3
+        tot["best"] += min(times) / 1e3
+    return {"model": model, "loss": loss, "wloss": wloss,
+            "picked": picked, "totals": {k: round(v, 4)
+                                         for k, v in tot.items()}}
+
+
+def optimizer_results(spark: SparkSession, sf_dir: str,
+                      num_queries: int = 24, train_frac: float = 2 / 3,
+                      epochs: int = 30, seed: int = 7,
+                      deployment_batches: int = 5,
+                      cache_dir: str | None = None,
+                      cross_folds: int = 0) -> dict[str, Any]:
+    """Label a generated workload, train on the front ``train_frac`` in
+    generation order (the drift framing: the past trains, the future
+    evaluates), and report held-out chosen-vs-default latencies, the
+    Spearman ranking loss, and the reference-shaped deployment series
+    (same explorer labels sliced into per-batch train/valid splits —
+    ``run_deployment`` is the ``Lero/deployment.py:16-46`` loop).
+
+    ``cross_folds`` > 0 additionally evaluates k rotated train/held-out
+    splits over the SAME labels (round-5 verdict #3: the loss series was
+    split-confounded): fold j holds out the j-th contiguous 1/k block in
+    generation order and trains on the rest, so the reported loss carries
+    a cross-split spread instead of one split's draw."""
+    from ..pipelines.dynamic import run_deployment
+
+    bundles, (cache_hits, cache_lookups) = label_generated_workload(
+        spark, sf_dir, num_queries, seed, cache_dir=cache_dir)
+    if len(bundles) < 3:
+        raise ValueError(f"only {len(bundles)} rankable bundles generated")
+    n_train = max(1, int(len(bundles) * train_frac))
+    train, test = bundles[:n_train], bundles[n_train:]
+
+    main_eval = _split_eval(spark, train, test, epochs, seed)
+    loss, wloss = main_eval["loss"], main_eval["wloss"]
+    picked = main_eval["picked"]
+
+    # cross-split error bar: rotate the held-out block through the
+    # generation-ordered bundle list (k disjoint held-out blocks)
+    cross: dict[str, Any] | None = None
+    if cross_folds > 1:
+        fold_rows = []
+        block = len(bundles) // cross_folds
+        for j in range(cross_folds):
+            lo, hi = j * block, (j + 1) * block if j < cross_folds - 1 \
+                else len(bundles)
+            f_test = bundles[lo:hi]
+            f_train = bundles[:lo] + bundles[hi:]
+            ev = _split_eval(spark, f_train, f_test, epochs, seed)
+            t = ev["totals"]
+            gap = (round(100.0 * (t["chosen"] - t["best"]) / t["best"], 2)
+                   if t["best"] > 0 else None)
+            fold_rows.append({
+                "fold": j, "n_test": len(f_test),
+                "ranking_loss": round(ev["loss"], 4),
+                "ranking_loss_weighted": round(ev["wloss"], 4),
+                "totals_sec": t, "oracle_gap_pct": gap,
+            })
+        losses = [f["ranking_loss"] for f in fold_rows]
+        gaps = [f["oracle_gap_pct"] for f in fold_rows
+                if f["oracle_gap_pct"] is not None]
+        cross = {
+            "k": cross_folds,
+            "folds": fold_rows,
+            "loss_mean": round(sum(losses) / len(losses), 4),
+            "loss_spread": round(max(losses) - min(losses), 4),
+            "oracle_gap_mean_pct": (round(sum(gaps) / len(gaps), 2)
+                                    if gaps else None),
+            "oracle_gap_spread_pct": (round(max(gaps) - min(gaps), 2)
+                                      if gaps else None),
+        }
 
     from ..workload.extract import extract_aliases
 
@@ -161,6 +247,10 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         "n_test": len(test),
         "epochs": epochs,
         "seed": seed,
+        "label_cache": {"enabled": cache_dir is not None,
+                        "hits": cache_hits,
+                        "misses": cache_lookups - cache_hits},
+        "cross_split": cross,
         "per_query": per_query,
         "totals_sec": {
             "default": tot("default_ms"),
@@ -207,6 +297,41 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
         f"**{res['ranking_loss']}** (candidate-count-weighted: "
         f"{res.get('ranking_loss_weighted', 'n/a')})",
         "",
+    ]
+    lc = res.get("label_cache") or {}
+    if lc.get("enabled"):
+        lines += [
+            f"Labels: cache-mixed measurement sessions — {lc['hits']} "
+            f"bundle(s) from the committed label cache, {lc['misses']} "
+            "labeled live this run (`plans/labelcache.py` documents the "
+            "protocol decision; a cached label invalidates on any edit to "
+            "the labeling code).",
+            "",
+        ]
+    if res.get("cross_split"):
+        cs = res["cross_split"]
+        lines += [
+            f"## Cross-split error bar (k={cs['k']} rotated held-out "
+            "blocks, same labels)",
+            "",
+            "| fold | held-out | ranking loss | oracle gap % |",
+            "|---|---|---|---|",
+        ]
+        for f in cs["folds"]:
+            lines.append(
+                f"| {f['fold']} | {f['n_test']} | {f['ranking_loss']} | "
+                f"{f['oracle_gap_pct']} |")
+        lines += [
+            "",
+            f"Loss mean **{cs['loss_mean']}** ± spread "
+            f"{cs['loss_spread']}; oracle gap mean "
+            f"**{cs['oracle_gap_mean_pct']}%** ± spread "
+            f"{cs['oracle_gap_spread_pct']}%. The single-split headline "
+            "above is one draw from this distribution — trajectory claims "
+            "across rounds should cite the spread, not the draw.",
+            "",
+        ]
+    lines += [
         "## Per-query (held-out)",
         "",
         "| qid | tables | candidates | default ms | chosen ms | "

@@ -29,125 +29,103 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). Round-5 layout
-#: (round-4 verdict item #1: spend the ENTIRE window on the 36 registered
-#: queries that have never had a driver correctness row):
-#: - the 24 round-4d..4k additions (sweep-green at two SFs, tested, but
-#:   never seen by the driver's independent oracle) come first;
-#: - then the 12 round-4b additions in the same never-tested state;
-#: - the remaining 14 slots go to the STALEST r02-only entries (their
-#:   newest green rows are three rounds old at r5's close — the linter
-#:   bound in tests/test_driver_rotation.py);
-#: - everything r03/r04-green rotates to the tail (freshest rows first).
+#: Driver-facing registration order (see module docstring). Round-6 layout
+#: (round-5 verdict item #1: the rotation-debt linter's exact list):
+#: - the 36 entries whose newest driver rows are r2 (age 4 at r6 assembly
+#:   — past the MAX_STALENESS=3 bound) fill the front of the window;
+#: - then the 2 k-means entries whose source changed this round (the
+#:   Lloyd-round fold onto _km_assign_update — fresh rows prove the
+#:   shared helper preserves the exact oracles);
+#: - then the 1 new round-6 entry (the GK-sketch production decile path);
+#: - the remaining 11 slots go to the stalest r03-green entries.
+#: Everything r04/r05-green rotates to the tail (freshest rows first).
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
-#: sweep (``tools/driver_sim.py`` → SWEEP_r5.json, sf0.01 + sf0.1)
+#: sweep (``tools/driver_sim.py`` -> SWEEP_r6.json, sf0.01 + sf0.1)
 #: re-verifies the whole registry every round.
 _DRIVER_ORDER = [
-    # --- round-4d..4k additions: first driver rows ever (24)
-    "dedup_paragraph_spans", "dedup_paragraph_rewrite",
-    "text_chunk_overlap", "sample_temperature_mixture",
-    "stats_corr_qty_discount", "stats_length_percentiles_approx",
-    "dq_constraint_report", "zorder_layout_profile",
-    "scd2_history_build", "incremental_agg_maintenance",
-    "graph_bfs_hops",
-    "pareto_front_orders", "events_decay_weighted_sum",
-    "quality_length_percent_rank",
-    "stats_reservoir_sample_profile", "events_time_weighted_value",
-    "basket_brand_pairs",
-    "stats_revenue_gini", "events_transition_matrix",
-    "orders_rfm_segments", "text_vocab_stats", "events_burst_users",
-    "embedding_kmeans_step", "orders_yoy_monthly_growth",
-    # --- round-4b additions: first driver rows ever (12)
-    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit", "tpch_q20_promo_volume_suppliers",
-    "text_edit_distance_pairs", "stats_median_disc_per_group",
-    "sample_stratified_proportional", "order_gap_stats_per_customer",
-    "events_trailing_7d_active_users", "window_dense_rank_ties",
-    "tpch_q11_important_parts", "full_outer_reconciliation",
-    # --- source changed this round (forced-broadcast removal, round-4
-    #     verdict item #2): fresh rows prove the threshold-driven plans
-    #     keep their exact-oracle greens (q9/q20/q11/basket_brand_pairs/
-    #     dq_constraint_report also changed but are already in-window
-    #     above) (4)
-    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-    "tpch_q16_supplier_variety", "join_bloom_prefilter_count",
-    # --- new this round: first driver rows (2)
-    "embedding_kmeans_two_steps", "setsim_join_prefix",
-    # --- stalest r02-only entries (newest rows are round 2 — the
-    #     staleness bound at r5 close); 10 slots remain in the window
-    "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
-    "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
-    "text_token_stats", "text_quality_scores",
-    # ---------------- driver window boundary (50) ----------------
-    "hypertable_rollup_daily", "text_bpe_token_count",
-    # --- r02-only entries that did not fit (34; first in line for
-    #     round 6 — the rotation-debt linter tracks their age)
-    "text_langid", "text_fingerprint",
-    "text_lang_summary", "text_pattern_flags",
-    "text_top_terms",
-    "dedup_simhash_pairs", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "ann_cosine_topk", "multimodal_bytes_features",
-    "stats_numeric_ranges", "stats_topk_frequent_values",
-    "stats_distinct_values", "stats_column_cardinalities",
-    "plan_selection_argmin", "spearman_rank_corr",
-    "stream_windowed_event_counts",
+    # --- r02-green entries at the staleness bound (36)
+    "hypertable_rollup_daily", "text_bpe_token_count", "text_langid",
+    "text_fingerprint", "text_lang_summary", "text_pattern_flags",
+    "text_top_terms", "dedup_simhash_pairs", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
+    "multimodal_bytes_features", "stats_numeric_ranges",
+    "stats_topk_frequent_values", "stats_distinct_values",
+    "stats_column_cardinalities", "plan_selection_argmin",
+    "spearman_rank_corr", "stream_windowed_event_counts",
     "transitive_equijoin_count", "skew_salted_join_count",
     "asof_join_events_orders", "range_join_value_bands",
     "outer_join_count_per_customer", "in_subquery_count",
     "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
-    "groupby_agg",
-    "ann_lsh_bucketed", "ann_ivf_topk", "coreset_select_embeddings",
-    "dedup_minhash_lsh", "pack_sequences_budget",
+    "groupby_agg", "ann_lsh_bucketed", "ann_ivf_topk",
+    "coreset_select_embeddings", "dedup_minhash_lsh", "pack_sequences_budget",
     "stream_sessionize_events",
-    # --- r04-green (the round-4 window), rotated behind the r02 debt
-    "datetime_parts_agg", "cube_agg", "grouping_sets_agg",
-    "pred_not_like", "pred_between", "intersect_except_keys",
-    "date_trunc_monthly", "pred_eq_neq", "distinct_count",
-    "pred_ts_literal", "pred_range_ops", "broadcast_join_count",
-    "min_projection_job_style", "groupby_having", "pred_null_checks",
-    "pred_like", "case_when_bucket_agg", "pred_in", "pred_epoch_int",
-    "count_min_multi_agg",
+    # --- source changed this round: Lloyd-round fold (2)
+    "embedding_kmeans_step", "embedding_kmeans_two_steps",
+    # --- new this round: first driver row (1)
+    "stats_price_deciles_sketch",
+    # --- stalest r03-green entries (11 slots remain in the window)
+    "rollup_agg", "scan_filter_count", "projection_join", "hash_join_count",
+    "merge_join_count", "nested_loop_theta_count", "self_join_count",
+    "pred_or", "semi_join_exists", "anti_join_not_exists",
+    "union_distinct_keys",
+    # ---------------- driver window boundary (50) ----------------
+    # --- r05-green (the round-5 window), freshest rows first (48)
+    "dedup_paragraph_spans", "dedup_paragraph_rewrite", "text_chunk_overlap",
+    "sample_temperature_mixture", "stats_corr_qty_discount",
+    "stats_length_percentiles_approx", "dq_constraint_report",
+    "zorder_layout_profile", "scd2_history_build",
+    "incremental_agg_maintenance", "graph_bfs_hops", "pareto_front_orders",
+    "events_decay_weighted_sum", "quality_length_percent_rank",
+    "stats_reservoir_sample_profile", "events_time_weighted_value",
+    "basket_brand_pairs", "stats_revenue_gini", "events_transition_matrix",
+    "orders_rfm_segments", "text_vocab_stats", "events_burst_users",
+    "orders_yoy_monthly_growth", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q9_product_profit",
+    "tpch_q20_promo_volume_suppliers", "text_edit_distance_pairs",
+    "stats_median_disc_per_group", "sample_stratified_proportional",
+    "order_gap_stats_per_customer", "events_trailing_7d_active_users",
+    "window_dense_rank_ties", "tpch_q11_important_parts",
+    "full_outer_reconciliation", "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share", "tpch_q16_supplier_variety",
+    "join_bloom_prefilter_count", "setsim_join_prefix",
+    "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
+    "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
+    "text_token_stats", "text_quality_scores",
+    # --- r04-green tail (47)
+    "datetime_parts_agg", "cube_agg", "grouping_sets_agg", "pred_not_like",
+    "pred_between", "intersect_except_keys", "date_trunc_monthly",
+    "pred_eq_neq", "distinct_count", "pred_ts_literal", "pred_range_ops",
+    "broadcast_join_count", "min_projection_job_style", "groupby_having",
+    "pred_null_checks", "pred_like", "case_when_bucket_agg", "pred_in",
+    "pred_epoch_int", "count_min_multi_agg",
     "stats_column_cardinalities_approx", "decontam_substring_containment",
     "window_rolling_7day_avg", "latest_order_per_customer",
-    "scalar_subquery_small_qty", "events_unpivot_daily",
-    "stats_null_profile", "embedding_lang_centroids",
-    "graph_triangle_count", "upsert_snapshot_apply",
-    "tpch_q10_returned_items", "events_first_touch",
+    "scalar_subquery_small_qty", "events_unpivot_daily", "stats_null_profile",
+    "embedding_lang_centroids", "graph_triangle_count",
+    "upsert_snapshot_apply", "tpch_q10_returned_items", "events_first_touch",
     "stats_price_deciles", "cluster_centroid_vectors",
     "tpch_q7_nation_volume", "tpch_q12_shipmode_priority",
     "tpch_q14_promo_share", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue", "tpch_q22_lapsed_high_balance",
-    "ann_ivf_pq_topk",
-    "dedup_minhash_clusters", "dedup_embedding_clusters",
-    "docrank_neardup_pagerank",
-    "tpch_q21_waiting_supplier", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    # --- r03-green, tail (48)
-    "rollup_agg", "scan_filter_count", "projection_join",
-    "hash_join_count", "merge_join_count", "nested_loop_theta_count",
-    "self_join_count", "pred_or",
-    "semi_join_exists", "anti_join_not_exists", "union_distinct_keys",
+    "ann_ivf_pq_topk", "dedup_minhash_clusters", "dedup_embedding_clusters",
+    "docrank_neardup_pagerank", "tpch_q21_waiting_supplier",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+    # --- r03-green tail (34; first in line for round 7 with the 11
+    #     r03 window entries above already refreshed this round)
     "multimodal_feature_extract", "multimodal_resize_grid",
-    "multimodal_frame_sample",
-    "dedup_fingerprint_survivors",
-    "decontam_ngram_overlap",
-    "quality_repetition_rules", "pii_flag_docs", "split_assign_hash",
-    "seq_length_histogram", "tfidf_top_terms_per_source",
-    "embedding_norm_histogram",
-    "stream_conversion_attribution",
+    "multimodal_frame_sample", "dedup_fingerprint_survivors",
+    "decontam_ngram_overlap", "quality_repetition_rules", "pii_flag_docs",
+    "split_assign_hash", "seq_length_histogram", "tfidf_top_terms_per_source",
+    "embedding_norm_histogram", "stream_conversion_attribution",
     "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
-    "quality_token_freq_score",
-    "cross_source_overlap", "stats_length_percentiles",
-    "embedding_quantize_int8", "embedding_dim_stats", "embedding_gram_upper",
-    "embedding_pca_project",
-    "sample_weighted_mix", "stats_histogram_equiwidth",
-    "events_anomaly_days",
+    "quality_token_freq_score", "cross_source_overlap",
+    "stats_length_percentiles", "embedding_quantize_int8",
+    "embedding_dim_stats", "embedding_gram_upper", "embedding_pca_project",
+    "sample_weighted_mix", "stats_histogram_equiwidth", "events_anomaly_days",
     "tpch_q3_shipping_priority", "tpch_q5_region_volume",
-    "window_running_total",
-    "stats_join_size_exact", "stats_join_size_cm_sketch",
-    "stats_key_skew_profile",
+    "window_running_total", "stats_join_size_exact",
+    "stats_join_size_cm_sketch", "stats_key_skew_profile",
     "events_pivot_daily", "events_resample_hourly_gapfill",
     "embedding_outlier_flags",
 ]

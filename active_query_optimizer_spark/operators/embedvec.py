@@ -450,6 +450,16 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     update is the posexplode + (cid, dim) partial-aggregate shape of
     ``embedding_lang_centroids`` — map-side combine moves k·dim rows
     per partition, never n·dim."""
+    q, seeds = _km_quantize_and_seed(spark, sf_dir)
+    return _km_assign_update(q, seeds)
+
+
+def _km_quantize_and_seed(spark: SparkSession,
+                          sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared k-means inputs: the milli-quantized vector frame
+    ``q (vec_id, qv: array<long>)`` and the first-round seed frame
+    ``seeds (cid, cv)`` = the ``KM_K`` lowest vec_ids (deterministic,
+    engine-portable — no RNG to agree on)."""
     e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
     qv = F.transform(
         "embedding",
@@ -458,21 +468,7 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select("vec_id", qv.alias("qv"))
     seeds = (q.filter(F.col("vec_id") < KM_K)
              .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
-    diff_sq = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(diff_sq, F.lit(0).cast("long"),
-                       lambda acc, x: acc + x)
-    pairs = (q.crossJoin(F.broadcast(seeds))
-             .select("vec_id", "cid",
-                     (dist * KM_TIE + F.col("cid")).alias("key")))
-    assign = (pairs.groupBy("vec_id")
-              .agg(F.min_by("cid", F.col("key")).alias("cid")))
-    return (q.join(assign, "vec_id")
-            .select("cid", F.posexplode("qv").alias("dim", "vq"))
-            .groupBy("cid", "dim")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("vq").cast("bigint").alias("sum_q"),
-                 F.expr("sum(vq) div count(1)").cast("bigint")
-                  .alias("centroid_q")))
+    return q, seeds
 
 
 def _km_assign_update(q: DataFrame, seeds: DataFrame) -> DataFrame:
@@ -575,14 +571,7 @@ def embedding_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     two scans at bench SF cost less than managing cache lifetime in a
     registry entry; the sig-table pattern in ``dedup.py`` shows the
     persisted form)."""
-    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
-    qv = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * KM_Q + F.lit(0.5))
-                   .cast("long"))
-    q = e.select("vec_id", qv.alias("qv"))
-    seeds = (q.filter(F.col("vec_id") < KM_K)
-             .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
+    q, seeds = _km_quantize_and_seed(spark, sf_dir)
     upd1 = _km_assign_update(q, seeds)
     seeds2 = _km_seeds_from_update(upd1)
     return _km_assign_update(q, seeds2)

@@ -608,6 +608,56 @@ def stats_length_percentiles_approx(spark: SparkSession,
                     F.col("pcs")[2].cast("bigint").alias("p99_chars")))
 
 
+#: GK-sketch accuracy for the production decile path: rank error ≤ n/ACC
+DECILE_SKETCH_ACC = 10_000
+
+
+@register("stats_price_deciles_sketch")  # rows-only: GK boundaries are
+# engine-specific by design (Spark's percentile_approx vs any DuckDB
+# sketch pick different in-bound elements); the rank-error bound vs the
+# exact ntile anchor and the no-global-Sort plan shape are pinned in tests
+def stats_price_deciles_sketch(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PRODUCTION equi-depth price deciles — the 100 TB companion of the
+    exact ``stats_price_deciles`` anchor (``relational.py``), which needs
+    a total order (``ntile`` global sort). This path never sorts:
+
+    1. one aggregate pass computes the 9 decile boundaries with
+       ``percentile_approx`` (Greenwald-Khanna: each partition builds a
+       mergeable summary; only summaries shuffle, rank error ≤
+       n/``DECILE_SKETCH_ACC``);
+    2. the single-row boundary frame broadcasts and a MAP-ONLY pass tags
+       every row with its bucket (count of boundaries below it) — no
+       exchange of raw rows at any scale.
+
+    Two scans of the fact table replace the global sort — the standard
+    two-pass histogram build (the anchor's docstring promises exactly
+    this path). Bucket populations are within rank error of n/10;
+    ties on a boundary all land in one bucket (same as ntile's
+    tie-splitting only differs inside the error bound).
+
+    Reference anchor: the range/top-k harvest lane this generalizes
+    (``pg.py:87-162`` harvests exact per-column stats; an equi-depth
+    histogram is the same lane's scale form)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+    v = o.select(cents.alias("cents"))
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    bounds = v.agg(F.percentile_approx(
+        "cents", probs, F.lit(DECILE_SKETCH_ACC)).alias("bs"))
+    decile = (F.lit(1) + F.aggregate(
+        "bs", F.lit(0),
+        lambda acc, b: acc + F.when(F.col("cents") > b, F.lit(1))
+                              .otherwise(F.lit(0))))
+    return (v.crossJoin(F.broadcast(bounds))
+            .select("cents", decile.alias("decile"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("cents").alias("lo_cents"),
+                 F.max("cents").alias("hi_cents")))
+
+
 #: deterministic-reservoir parameters: Lehmer/MINSTD rank (engine-portable
 #: — no engine hash function agrees across Spark and DuckDB) and sample size
 RESERVOIR_MULT = 48271

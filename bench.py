@@ -157,6 +157,8 @@ HEADLINE = [
     "embedding_kmeans_two_steps",
     "setsim_join_prefix",
     "orders_yoy_monthly_growth",
+    # round-6 additions: GK-sketch production decile path
+    "stats_price_deciles_sketch",
 ]
 
 
@@ -253,8 +255,10 @@ def main() -> None:
                     sum(cq[n] for n in common), 4)
                 ratios = sorted(
                     timings[n] / cq[n] for n in common if cq[n] > 0)
-                out["load_ratio_median"] = round(
-                    ratios[len(ratios) // 2], 3)
+                if ratios:  # every committed timing could be 0 (degenerate
+                    # snapshot) — don't crash the headline line over it
+                    out["load_ratio_median"] = round(
+                        ratios[len(ratios) // 2], 3)
                 out["queries_committed"] = len(common)
     except (OSError, ValueError, KeyError):
         pass

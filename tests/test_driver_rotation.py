@@ -15,6 +15,13 @@ counts as green when the driver recorded no error and the row counts
 matched; hash_match additionally holds for exact-oracled entries and is
 absent/False by design for the documented rows-only (sketch/approximate)
 entries, which the weaker rows-only check still covers.
+
+NOTE on the red window between rounds: when the driver drops a fresh
+``CORRECTNESS_r{N}.json`` at round close, ``current_round`` advances and
+this test goes red until ``_DRIVER_ORDER`` is reassembled for the new
+round — that red is the forcing function working as designed (it prints
+the exact queries the next window must contain), not a regression. The
+fix is always to rotate the window, never to loosen ``MAX_STALENESS``.
 """
 
 from __future__ import annotations

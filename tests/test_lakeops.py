@@ -396,11 +396,11 @@ def test_kmeans_two_steps_converges_and_matches_numpy_replica(spark):
             if len(members) == 0:
                 continue
             sums = members.sum(axis=0)
-            cent = sums // len(members)  # python-floor == Spark `div` on
-            # non-negative... use true floor division on int64: numpy //
-            # floors toward -inf while Spark/DuckDB integer div truncates
-            # toward zero — make it explicit:
-            cent = np.trunc(sums / len(members)).astype(np.int64)
+            # numpy // floors toward -inf while Spark `div` / DuckDB `//`
+            # truncate toward zero; pure-integer trunc-division keeps the
+            # replica bit-exact even when |sums| exceeds 2^53 (a float
+            # round-trip would not):
+            cent = np.sign(sums) * (np.abs(sums) // len(members))
             for dim in range(qv.shape[1]):
                 upd[(c, dim)] = (len(members), int(sums[dim]),
                                  int(cent[dim]))

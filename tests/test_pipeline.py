@@ -194,12 +194,17 @@ def test_optimizer_results_regenerate_sf001(spark, tmp_path):
     """RESULTS.md regeneration at sf0.01: the end-to-end artifact pipeline
     (generate -> explore/label -> train -> select -> deployment series)
     must produce a coherent report — totals bracketed by the oracle
-    best/worst, loss in range, artifact + JSON sibling written."""
+    best/worst, loss in range, artifact + JSON sibling written. Also
+    exercises the round-6 additions: the label cache (a cold run misses
+    everything, a warm rerun hits everything and reproduces the labels
+    bit-for-bit) and the cross-split error bar."""
     from active_query_optimizer_spark.evaluation.results import (
         optimizer_results, write_results_md)
 
+    cache = str(tmp_path / "label_cache")
     res = optimizer_results(spark, SF_SMALL, num_queries=6, epochs=8,
-                            seed=11, deployment_batches=2)
+                            seed=11, deployment_batches=2,
+                            cache_dir=cache, cross_folds=2)
     t = res["totals_sec"]
     assert res["n_test"] >= 1 and res["n_train"] >= 1
     assert t["best_possible"] <= t["chosen"] <= t["worst_case"]
@@ -210,11 +215,36 @@ def test_optimizer_results_regenerate_sf001(spark, tmp_path):
         assert q["n_candidates"] >= 2
     assert res["deployment_latency_series"]
 
+    # label cache: cold run missed everything...
+    assert res["label_cache"]["enabled"] is True
+    assert res["label_cache"]["hits"] == 0
+    assert res["label_cache"]["misses"] >= res["n_labeled"]
+    # cross-split error bar present and coherent
+    cs = res["cross_split"]
+    assert cs["k"] == 2 and len(cs["folds"]) == 2
+    assert cs["loss_spread"] >= 0 and 0 <= cs["loss_mean"] <= 2.0
+    for f in cs["folds"]:
+        ft = f["totals_sec"]
+        assert ft["best"] <= ft["chosen"]
+
     out = str(tmp_path / "RESULTS.md")
     write_results_md(res, out)
     text = open(out).read()
     assert "learned ranker's choice" in text
     assert str(t["chosen"]) in text
+    assert "Cross-split error bar" in text
+    assert "from the committed label cache" in text
     import json as _json
     blob = _json.load(open(str(tmp_path / "RESULTS.json")))
     assert blob["totals_sec"] == t
+
+    # ...and a warm rerun hits everything: identical labels -> identical
+    # per-query wall-ms and totals (the incremental-growth property)
+    res2 = optimizer_results(spark, SF_SMALL, num_queries=6, epochs=8,
+                             seed=11, deployment_batches=2,
+                             cache_dir=cache, cross_folds=0)
+    assert res2["label_cache"]["hits"] > 0
+    assert res2["label_cache"]["misses"] == 0
+    assert res2["totals_sec"] == t
+    assert res2["per_query"] == res["per_query"]
+    assert res2["cross_split"] is None

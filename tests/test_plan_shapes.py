@@ -29,6 +29,7 @@ NESTED_LOOP_BY_DESIGN = {
     "sample_temperature_mixture", # global weight-sum + feasible-total
                                   # scalars (same class as weighted_mix)
     "stats_histogram_equiwidth",  # global (min,max) bounds scalar
+    "stats_price_deciles_sketch", # global GK decile-boundary scalar (1 row)
     "embedding_outlier_flags",    # global norm-moments scalar frame
     # generated-spine completion: hour sequence × distinct type domain —
     # a cross join of two tiny GENERATED frames (thousands of rows),
@@ -77,6 +78,8 @@ BOUNDED_BROADCAST_BY_DESIGN = {
     # single-row global-aggregate scalar frames
     "embedding_outlier_flags": "global norm-moments scalar (1 row)",
     "stats_histogram_equiwidth": "global (min,max) bounds scalar (1 row)",
+    "stats_price_deciles_sketch":
+        "single-row GK decile-boundary aggregate (9 values)",
     "tpch_q11_important_parts": "single-row grand-total scalar",
     "tpch_q15_top_supplier": "single-row global-MAX scalar",
     "tpch_q22_lapsed_high_balance": "single-row global-average scalar",

@@ -340,6 +340,81 @@ def test_length_percentile_sketch_rank_bound_and_determinism(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_decile_sketch_matches_exact_anchor_within_rank_error(spark):
+    """Production decile path vs the exact ntile(10) anchor
+    (``stats_price_deciles``): every GK boundary's rank window must
+    intersect the target rank ±(n/accuracy + tie slack), bucket
+    populations must cover the whole table and each be within the same
+    envelope of n/10, and bucket value ranges must be monotone."""
+    import bisect
+
+    from active_query_optimizer_spark.operators import QUERIES
+    from active_query_optimizer_spark.operators.statsops import (
+        DECILE_SKETCH_ACC)
+
+    rows = sorted(QUERIES["stats_price_deciles_sketch"](
+        spark, SF_SMALL).collect(), key=lambda r: r["decile"])
+    o = load_table(spark, SF_SMALL, "orders")
+    cents = sorted(r[0] for r in o.selectExpr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+    ).collect())
+    n = len(cents)
+    slack = n / DECILE_SKETCH_ACC + 1
+
+    assert sum(r["n"] for r in rows) == n
+    # bucket ids are a subset of 1..10, strictly increasing with
+    # non-overlapping monotone [lo, hi] value ranges
+    ids = [r["decile"] for r in rows]
+    assert ids == sorted(set(ids)) and ids[0] >= 1 and ids[-1] <= 10
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo_cents"] <= a["hi_cents"] < b["lo_cents"], (a, b)
+
+    # each bucket's upper boundary (= hi of the bucket, which the GK
+    # element defines via the `cents > b` predicate) sits within the
+    # rank envelope of its target decile rank; each population within
+    # the same envelope of n/10 (+ tie mass at the boundary value)
+    cum = 0
+    for r in rows[:-1]:
+        cum += r["n"]
+        b = r["hi_cents"]
+        lo_rank = bisect.bisect_left(cents, b)
+        hi_rank = bisect.bisect_right(cents, b)
+        target = r["decile"] * n / 10
+        assert lo_rank - slack <= target <= hi_rank + slack, (
+            r["decile"], b, lo_rank, hi_rank, target)
+        ties = hi_rank - lo_rank
+        assert abs(cum - target) <= slack + ties, (r["decile"], cum, target)
+
+
+def test_decile_sketch_plan_has_no_global_sort(spark):
+    """The whole point of the production path: NO total order. The exact
+    anchor's plan range-partitions for ntile (positive control); the
+    sketch path must show no single-partition/range exchange, no Sort
+    and no Window operator anywhere."""
+    from active_query_optimizer_spark.operators import QUERIES
+
+    sketch_plan = (QUERIES["stats_price_deciles_sketch"](spark, SF_SMALL)
+                   ._jdf.queryExecution().executedPlan().toString())
+    anchor_plan = (QUERIES["stats_price_deciles"](spark, SF_SMALL)
+                   ._jdf.queryExecution().executedPlan().toString())
+    # positive control: the ntile anchor funnels every RAW row through
+    # one sorted partition (the total order the sketch path removes)
+    assert "Exchange SinglePartition" in anchor_plan, anchor_plan
+    assert "Sort [" in anchor_plan and "Window" in anchor_plan
+    for marker in ("rangepartitioning", "Sort [", "Window"):
+        assert marker not in sketch_plan, (marker, sketch_plan)
+    # the sketch path's only single-partition exchange is the GK summary
+    # merge: each feeds a final percentile_approx over per-partition
+    # sketch BUFFERS (one row each), never raw rows
+    chunks = sketch_plan.split("Exchange SinglePartition")[1:]
+    assert chunks, sketch_plan
+    for below in chunks:
+        first_agg = below.split("Aggregate", 1)[0] + "Aggregate" + \
+            below.split("Aggregate", 1)[1].splitlines()[0]
+        assert "partial_percentile_approx" in first_agg, (first_agg,
+                                                          sketch_plan)
+
+
 def test_corr_moments_yield_valid_coefficient(spark):
     """The harvested integer moment vectors must reduce to a well-formed
     Pearson coefficient (|r| <= 1) and reproduce numpy's corrcoef on the

@@ -21,15 +21,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # committed label cache (round-6 protocol decision — see
+    # plans/labelcache.py): growth runs only label the NEW queries;
+    # SPARK_GRAFT_NO_LABEL_CACHE=1 forces a from-scratch run
+    cache_dir = (None if os.environ.get("SPARK_GRAFT_NO_LABEL_CACHE")
+                 else os.path.join(repo, ".label_cache"))
+    folds = int(os.environ.get("SPARK_GRAFT_CROSS_FOLDS", "3"))
     spark = get_spark("aqo-results")
     spark.sparkContext.setLogLevel("ERROR")
     res = optimizer_results(spark, sf_dir, num_queries=num_queries,
-                            epochs=epochs)
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "RESULTS.md")
+                            epochs=epochs, cache_dir=cache_dir,
+                            cross_folds=folds)
+    out = os.path.join(repo, "RESULTS.md")
     write_results_md(res, out)
     print(f"wrote {out}: totals={res['totals_sec']} "
-          f"loss={res['ranking_loss']}")
+          f"loss={res['ranking_loss']} cache={res['label_cache']} "
+          f"cross={res['cross_split'] and res['cross_split']['loss_mean']}")
 
 
 if __name__ == "__main__":
