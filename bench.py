@@ -174,9 +174,14 @@ def main() -> None:
     # GC noise; min-of-runs is the standard benchmark estimator for the
     # steady-state cost. Each run replans + re-executes from parquet.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # optional subset (e.g. the sf1 scale rehearsal runs only the heavy
+    # entries): comma-separated names, order preserved from HEADLINE
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    subset = {s.strip() for s in subset_env.split(",") if s.strip()}
+    queries = [n for n in HEADLINE if not subset or n in subset]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in queries:
         fn = QUERIES.get(name)
         if fn is None:
             continue

@@ -1,0 +1,106 @@
+"""Generate an sf1 rehearsal slice (10x sf0.1) for local scale testing.
+
+The driver's testdata stops at sf0.1; round-5 verdict #5 asks for a local
+sf1 rehearsal to catch cliffs sf0.1 hides (candidate-pair growth in the
+similarity joins, AQE broadcast flips on the de-hinted decision queries,
+spine growth in the events family). This produces ``testdata_sf1/`` next
+to the repo root by replicating every SF-growing sf0.1 table 10x with
+key-shifted copies — deterministic, no RNG:
+
+- ``region``/``nation`` stay fixed (TPC-H semantics: dims don't scale);
+- every key column (PK and FK alike) shifts by ``copy * SHIFT`` so each
+  copy joins within itself — join fan-outs and group cardinalities scale
+  exactly linearly;
+- ``documents.text`` gets every whitespace token suffixed ``~{copy}`` in
+  copies 1..9 (copy 0 is verbatim), so the token spaces of different
+  copies are DISJOINT: the near-dup/similarity structure of the original
+  corpus repeats once per copy (pair counts scale ~10x linearly) instead
+  of every copied doc forming a 10-clique with its siblings (pair counts
+  exploding ~100x, which a naive replication would cause — that would
+  rehearse a different, wrong workload); ``n_chars`` is recomputed;
+- ``embeddings.embedding`` gets a small per-copy deterministic offset so
+  copies are near but not exact duplicates (ANN top-k stays non-trivial).
+
+Correctness at sf1 is NOT the point (no oracles run here — the sf0.01
+driver gate owns correctness); plan shape and throughput are. Written
+with DuckDB (vectorized, writes the same parquet types Spark reads;
+``events.ts`` stays timestamp[us] exactly like the sf0.1 original).
+
+Usage: ``python tools/make_sf1.py [outdir]`` (default
+``<repo>/testdata_sf1``; ~10x sf0.1 on disk, gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+SHIFT = 100_000_000
+COPIES = 10
+
+#: per-table key columns to shift by copy*SHIFT (PKs and FKs together —
+#: nationkey/regionkey deliberately absent: those dims don't scale)
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _copy_select(table: str, cols: list[tuple[str, str]], k: int) -> str:
+    shifted = set(KEY_SHIFTS[table])
+    exprs = []
+    for name, _typ in cols:
+        if name in shifted:
+            exprs.append(f"{name} + {k * SHIFT} AS {name}")
+        elif table == "documents" and name == "text" and k > 0:
+            # disjoint token space per copy (see module docstring)
+            exprs.append(
+                rf"regexp_replace(text, '(\S+)', '\1~{k}', 'g') AS text")
+        elif table == "documents" and name == "n_chars" and k > 0:
+            exprs.append(
+                rf"CAST(length(regexp_replace(text, '(\S+)', '\1~{k}', "
+                rf"'g')) AS BIGINT) AS n_chars")
+        elif table == "embeddings" and name == "embedding" and k > 0:
+            exprs.append(
+                f"list_transform(embedding, x -> CAST(x + {k % 7 - 3} * "
+                f"0.0011 AS FLOAT)) AS embedding")
+        else:
+            exprs.append(name)
+    return f"SELECT {', '.join(exprs)} FROM src"
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_sf1")
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table in ("region", "nation"):
+        con.sql(f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet'))"
+                f" TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        print(f"{table}: copied fixed dim")
+    for table, _keys in KEY_SHIFTS.items():
+        con.sql(f"CREATE OR REPLACE VIEW src AS "
+                f"SELECT * FROM read_parquet('{SRC}/{table}.parquet')")
+        cols = [(r[0], r[1]) for r in con.sql("DESCRIBE src").fetchall()]
+        union = " UNION ALL ".join(
+            _copy_select(table, cols, k) for k in range(COPIES))
+        con.sql(f"COPY ({union}) TO '{out}/{table}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 122880)")
+        n = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
