@@ -70,9 +70,11 @@ def _copy_select(table: str, cols: list[tuple[str, str]], k: int) -> str:
                 rf"CAST(length(regexp_replace(text, '(\S+)', '\1~{k}', "
                 rf"'g')) AS BIGINT) AS n_chars")
         elif table == "embeddings" and name == "embedding" and k > 0:
+            # 2k-9 is odd for k in 1..9 — never zero, so no copy is an
+            # exact duplicate of the original vectors
             exprs.append(
-                f"list_transform(embedding, x -> CAST(x + {k % 7 - 3} * "
-                f"0.0011 AS FLOAT)) AS embedding")
+                f"list_transform(embedding, x -> CAST(x + ({2 * k - 9}) * "
+                f"0.00055 AS FLOAT)) AS embedding")
         else:
             exprs.append(name)
     return f"SELECT {', '.join(exprs)} FROM src"
