@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -30,7 +31,8 @@ from pyspark.sql import SparkSession
 from ..catalog import register_views
 from ..model.infer import choose_best, score_plans
 from ..model.lero import train_pairwise_from_bundles
-from ..plans.explore import HINT_STRATEGIES, Candidate, label_query
+from ..plans.explore import (HINT_STRATEGIES, Candidate,
+                             ZombieExecutionError, label_query)
 from ..stats.harvester import harvest_range_dict
 from ..workload.generate import generate_workload
 from .metrics import ranking_loss, weighted_ranking_loss
@@ -40,6 +42,34 @@ from .metrics import ranking_loss, weighted_ranking_loss
 #: replicate-NL hint degenerating an equi-join) gets cancelled and
 #: penalty-labeled instead of holding the whole artifact run hostage
 LABEL_TIMEOUT_S = 30.0
+
+
+def _revive_spark(spark: SparkSession, app: str = "aqo-results-revived",
+                  ) -> SparkSession:
+    """Tear the session's JVM down and build a fresh one. A zombie task
+    thread (one that ignores Spark's interrupt machinery — see
+    ``ZombieExecutionError``) survives ``SparkContext.stop()`` too: stop
+    only interrupts the executor pools. Shutting the py4j gateway down
+    kills the JVM outright, and clearing the cached gateway/jvm handles
+    makes the next ``getOrCreate`` launch a clean one."""
+    from pyspark import SparkContext
+
+    from ..session import get_spark
+
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - teardown is best-effort by nature
+        pass
+    try:
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+    except Exception:  # noqa: BLE001
+        pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    fresh = get_spark(app)
+    fresh.sparkContext.setLogLevel("ERROR")
+    return fresh
 
 
 def label_generated_workload(spark: SparkSession, sf_dir: str,
@@ -58,8 +88,10 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
     (sql, strategies, timeout, sf_dir, code-fingerprint) key is present
     (``plans/labelcache`` — the deliberate measurement-protocol decision:
     a grown workload mixes measurement sessions). Returns
-    ``(bundles, (cache_hits, lookups))`` — lookups counts every labeled
-    query including skipped single-plan ones; tests leave the cache off."""
+    ``(bundles, (hits, lookups), spark)`` — lookups counts every labeled
+    query including skipped single-plan ones, and the returned session
+    replaces the caller's if a zombie variant forced a JVM teardown
+    (see ``_revive_spark``); tests leave the cache off."""
     register_views(spark, sf_dir)
     rd = harvest_range_dict(spark, sf_dir)
     wl = sorted(generate_workload(spark, rd, num_sql=2 * num_queries,
@@ -68,22 +100,40 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
     hits = lookups = 0
     out: list[tuple[str, list[Candidate]]] = []
     for r in wl:
-        if cache_dir is not None:
-            from ..plans.labelcache import bundle_key, cached_label_query
+        try:
+            if cache_dir is not None:
+                from ..plans.labelcache import bundle_key, cached_label_query
 
-            key = bundle_key(r["sql"], strategies, timeout_s, sf_dir)
-            lookups += 1
-            hits += os.path.exists(
-                os.path.join(cache_dir, f"{key}.json.gz"))
-            cands = cached_label_query(spark, r["sql"], strategies,
-                                       timeout_s, sf_dir, cache_dir)
-        else:
-            cands = label_query(spark, r["sql"], strategies, timeout_s)
+                key = bundle_key(r["sql"], strategies, timeout_s, sf_dir)
+                lookups += 1
+                hits += os.path.exists(
+                    os.path.join(cache_dir, f"{key}.json.gz"))
+                cands = cached_label_query(spark, r["sql"], strategies,
+                                           timeout_s, sf_dir, cache_dir)
+            else:
+                cands = label_query(spark, r["sql"], strategies, timeout_s)
+        except ZombieExecutionError as e:
+            # one variant ignored the full cancellation escalation: the
+            # query is poisoned — drop it (the generator over-samples 2x
+            # for exactly this kind of loss), tear the JVM down so the
+            # runaway threads actually die, and move on. With the cache
+            # on, persist an EMPTY bundle so reruns skip it instantly
+            # (an empty bundle is <2 candidates = unrankable, the same
+            # skip semantics as a plan-collapse query).
+            print(f"WARNING: q{r['id']} poisoned ({e}); reviving session",
+                  file=sys.stderr)
+            spark = _revive_spark(spark)
+            register_views(spark, sf_dir)
+            if cache_dir is not None:
+                from ..plans.labelcache import write_bundle
+
+                write_bundle(cache_dir, key, [])
+            continue
         if len(cands) >= 2:
             out.append((f"q{r['id']}", cands))
         if len(out) >= num_queries:
             break
-    return out, (hits, lookups)
+    return out, (hits, lookups), spark
 
 
 def _split_eval(spark: SparkSession,
@@ -140,7 +190,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     a cross-split spread instead of one split's draw."""
     from ..pipelines.dynamic import run_deployment
 
-    bundles, (cache_hits, cache_lookups) = label_generated_workload(
+    bundles, (cache_hits, cache_lookups), spark = label_generated_workload(
         spark, sf_dir, num_queries, seed, cache_dir=cache_dir)
     if len(bundles) < 3:
         raise ValueError(f"only {len(bundles)} rankable bundles generated")

@@ -207,32 +207,77 @@ def plan_variants(spark: SparkSession, sql: str,
 LABEL_TIMEOUT_PENALTY = 2.0
 
 
+class ZombieExecutionError(RuntimeError):
+    """A labeled action survived repeated job-group cancellation AND
+    ``cancelAllJobs`` — the backing computation no longer responds to
+    Spark's task-interrupt machinery (observed in the wild: one round-6
+    labeling variant pinned a 3-task stage for 18+ minutes straight
+    through its 30 s watchdog). The only reliable recovery is tearing the
+    session down; the caller owns that decision."""
+
+
+#: extra time the watchdog grants the cancellation machinery before
+#: declaring the action a zombie: 3 group-cancels 5 s apart (AQE submits
+#: follow-on jobs under the same group — a single cancel only kills jobs
+#: already running) + one cancelAllJobs with a 30 s drain
+_CANCEL_RETRIES = 3
+_CANCEL_RETRY_WAIT_S = 5.0
+_CANCEL_ALL_WAIT_S = 30.0
+
+
 def _time_execution(df: DataFrame,
                     timeout_s: float | None = None) -> float | None:
     """Wall-clock ``collect()`` in ms; with ``timeout_s`` set, the action
-    runs in its own job group and a watchdog cancels the group at the
-    deadline (``interruptOnCancel`` so running tasks die too) — returns
-    ``None`` on timeout."""
+    runs in a worker thread under its own job group and the caller
+    cancels the group at the deadline (``interruptOnCancel`` so running
+    tasks die too) — returns ``None`` on timeout. Cancellation escalates
+    (re-cancel for AQE follow-on jobs, then ``cancelAllJobs``); an action
+    that survives the full escalation raises ``ZombieExecutionError``
+    instead of holding the labeling loop hostage."""
     if timeout_s is None:
         t0 = time.perf_counter()
         df.collect()
         return (time.perf_counter() - t0) * 1000.0
     sc = df.sparkSession.sparkContext
     group = f"aqo-label-{time.monotonic_ns()}"
-    sc.setJobGroup(group, "candidate labeling", interruptOnCancel=True)
-    timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(group))
-    timer.start()
-    t0 = time.perf_counter()
-    try:
-        df.collect()
-        return (time.perf_counter() - t0) * 1000.0
-    except Exception:
-        if time.perf_counter() - t0 < timeout_s:
-            raise  # a real execution error, not the watchdog
+    result: dict[str, object] = {}
+
+    def run() -> None:
+        # job groups are thread-local: set it in the submitting thread
+        sc.setJobGroup(group, "candidate labeling", interruptOnCancel=True)
+        t0 = time.perf_counter()
+        try:
+            df.collect()
+            result["ms"] = (time.perf_counter() - t0) * 1000.0
+        except Exception as e:  # noqa: BLE001 - classified by the caller
+            result["err"] = e
+            result["elapsed_s"] = time.perf_counter() - t0
+
+    worker = threading.Thread(target=run, daemon=True,
+                              name=f"label-exec-{group}")
+    worker.start()
+    worker.join(timeout_s)
+    if worker.is_alive():
+        for _ in range(_CANCEL_RETRIES):
+            sc.cancelJobGroup(group)
+            worker.join(_CANCEL_RETRY_WAIT_S)
+            if not worker.is_alive():
+                break
+        if worker.is_alive():
+            sc.cancelAllJobs()
+            worker.join(_CANCEL_ALL_WAIT_S)
+        if worker.is_alive():
+            raise ZombieExecutionError(
+                f"labeled action ignored {_CANCEL_RETRIES} group cancels "
+                f"and cancelAllJobs (>{timeout_s}s + escalation)")
+        if "ms" in result:  # finished in the cancel window — a real label
+            return float(result["ms"])  # type: ignore[arg-type]
+        return None  # cancelled at the deadline — the penalty path
+    if "err" in result:
+        if float(result.get("elapsed_s", 0.0)) < timeout_s:  # type: ignore[arg-type]
+            raise result["err"]  # type: ignore[misc] # real execution error
         return None
-    finally:
-        timer.cancel()
-        sc.setJobGroup("", "")
+    return float(result["ms"])  # type: ignore[arg-type]
 
 
 def label_query(spark: SparkSession, sql: str,

@@ -97,28 +97,35 @@ def _decode(rows: list[dict]) -> list[Candidate]:
     return out
 
 
+def write_bundle(cache_dir: str, key: str, cands: list[Candidate]) -> None:
+    """Persist one labeled bundle atomically (tmp + rename), so a killed
+    run keeps every bundle it finished — the incremental-growth property.
+    An EMPTY list is a valid bundle: it marks a poisoned/unrankable query
+    so reruns skip it instantly."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"{key}.json.gz")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with gzip.open(tmp, "wt") as fh:
+        json.dump(_encode(cands), fh)
+    os.replace(tmp, path)
+
+
 def cached_label_query(spark: "SparkSession", sql: str,
                        strategies: tuple[str, ...],
                        timeout_s: float | None, sf_dir: str,
                        cache_dir: str) -> list[Candidate]:
     """``label_query`` with a read-through, write-behind bundle cache.
-
     Hits rebuild the Candidate list from the stored bundle without
-    touching the cluster; misses label live and persist the result
-    atomically (tmp + rename), so a killed run keeps every bundle it
-    finished — the incremental-growth property."""
-    os.makedirs(cache_dir, exist_ok=True)
+    touching the cluster; misses label live and persist the result."""
     key = bundle_key(sql, strategies, timeout_s, sf_dir)
     path = os.path.join(cache_dir, f"{key}.json.gz")
     if os.path.exists(path):
         with gzip.open(path, "rt") as fh:
             return _decode(json.load(fh))
     cands = label_query(spark, sql, strategies, timeout_s)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with gzip.open(tmp, "wt") as fh:
-        json.dump(_encode(cands), fh)
-    os.replace(tmp, path)
+    write_bundle(cache_dir, key, cands)
     return cands
 
 
-__all__ = ["cached_label_query", "bundle_key", "code_fingerprint"]
+__all__ = ["cached_label_query", "write_bundle", "bundle_key",
+           "code_fingerprint"]
