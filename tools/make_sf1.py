@@ -11,13 +11,19 @@ key-shifted copies — deterministic, no RNG:
 - every key column (PK and FK alike) shifts by ``copy * SHIFT`` so each
   copy joins within itself — join fan-outs and group cardinalities scale
   exactly linearly;
-- ``documents.text`` gets every whitespace token suffixed ``~{copy}`` in
-  copies 1..9 (copy 0 is verbatim), so the token spaces of different
-  copies are DISJOINT: the near-dup/similarity structure of the original
-  corpus repeats once per copy (pair counts scale ~10x linearly) instead
-  of every copied doc forming a 10-clique with its siblings (pair counts
-  exploding ~100x, which a naive replication would cause — that would
-  rehearse a different, wrong workload); ``n_chars`` is recomputed;
+- ``documents.text`` goes through a per-copy letter-substitution cipher
+  (alphabet rotation by the copy index; copy 0 is verbatim). A bijective
+  character map preserves every within-copy similarity structure EXACTLY
+  — token sets, character n-gram shingle sets, lengths — while making
+  the shingle/token spaces of different copies DISJOINT, so the near-dup
+  structure of the original corpus repeats once per copy (pair counts
+  scale ~10x linearly) instead of every copied doc forming a 10-clique
+  with its siblings (~100x explosion). The first attempt suffixed
+  ``~{copy}`` onto every token, which kept within-token CHARACTER
+  5-grams identical across copies — the dedup family shingles at the
+  character level, so cross-copy Jaccard stayed high and the rehearsal
+  measured a 3,000x bucket-join blowup that was an artifact of the
+  generator, not of the operators; ``n_chars`` is length-preserved;
 - ``embeddings.embedding`` gets a small per-copy deterministic offset so
   copies are near but not exact duplicates (ANN top-k stays non-trivial).
 
@@ -55,6 +61,23 @@ KEY_SHIFTS = {
 }
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+_DIGITS = "0123456789"
+
+
+def _cipher(k: int) -> tuple[str, str]:
+    """Per-copy substitution alphabet: rotate lowercase, uppercase and
+    digits by ``k`` (bijective — see module docstring; digits included
+    because number-heavy shingles would otherwise still collide across
+    copies)."""
+    lo = _ALPHA[k:] + _ALPHA[:k]
+    dg = _DIGITS[k:] + _DIGITS[:k]
+    return (_ALPHA + _ALPHA.upper() + _DIGITS,
+            lo + lo.upper() + dg)
+
+
 def _copy_select(table: str, cols: list[tuple[str, str]], k: int) -> str:
     shifted = set(KEY_SHIFTS[table])
     exprs = []
@@ -62,13 +85,9 @@ def _copy_select(table: str, cols: list[tuple[str, str]], k: int) -> str:
         if name in shifted:
             exprs.append(f"{name} + {k * SHIFT} AS {name}")
         elif table == "documents" and name == "text" and k > 0:
-            # disjoint token space per copy (see module docstring)
-            exprs.append(
-                rf"regexp_replace(text, '(\S+)', '\1~{k}', 'g') AS text")
-        elif table == "documents" and name == "n_chars" and k > 0:
-            exprs.append(
-                rf"CAST(length(regexp_replace(text, '(\S+)', '\1~{k}', "
-                rf"'g')) AS BIGINT) AS n_chars")
+            # disjoint shingle/token space per copy (see module docstring)
+            src, dst = _cipher(k)
+            exprs.append(f"translate(text, '{src}', '{dst}') AS text")
         elif table == "embeddings" and name == "embedding" and k > 0:
             # 2k-9 is odd for k in 1..9 — never zero, so no copy is an
             # exact duplicate of the original vectors
