@@ -36,8 +36,11 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
 #: - then the 2 k-means entries whose source changed this round (the
 #:   Lloyd-round fold onto _km_assign_update — fresh rows prove the
 #:   shared helper preserves the exact oracles);
-#: - then the 1 new round-6 entry (the GK-sketch production decile path);
-#: - the remaining 11 slots go to the stalest r03-green entries.
+#: - then the 2 new round-6 entries (the GK-sketch production decile
+#:   path and the GK-threshold stratified-sampling route);
+#: - the remaining 10 slots go to the stalest r03-green entries
+#:   (union_distinct_keys, r03-green, sits first past the boundary and
+#:   ages into round 7's forced window with the other 35 r03 entries).
 #: Everything r04/r05-green rotates to the tail (freshest rows first).
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
@@ -62,14 +65,14 @@ _DRIVER_ORDER = [
     "stream_sessionize_events",
     # --- source changed this round: Lloyd-round fold (2)
     "embedding_kmeans_step", "embedding_kmeans_two_steps",
-    # --- new this round: first driver row (1)
-    "stats_price_deciles_sketch",
-    # --- stalest r03-green entries (11 slots remain in the window)
+    # --- new this round: first driver rows (2)
+    "stats_price_deciles_sketch", "sample_stratified_sketch",
+    # --- stalest r03-green entries (10 slots remain in the window)
     "rollup_agg", "scan_filter_count", "projection_join", "hash_join_count",
     "merge_join_count", "nested_loop_theta_count", "self_join_count",
     "pred_or", "semi_join_exists", "anti_join_not_exists",
-    "union_distinct_keys",
     # ---------------- driver window boundary (50) ----------------
+    "union_distinct_keys",
     # --- r05-green (the round-5 window), freshest rows first (48)
     "dedup_paragraph_spans", "dedup_paragraph_rewrite", "text_chunk_overlap",
     "sample_temperature_mixture", "stats_corr_qty_discount",

@@ -391,6 +391,47 @@ def sample_stratified_proportional(spark: SparkSession,
             .select("doc_id", "source"))
 
 
+#: GK accuracy for the sketch-threshold sampling route (rank error ≤ n/ACC)
+STRAT_SKETCH_ACC = 10_000
+
+
+@register("sample_stratified_sketch")  # rows-only: the GK threshold is an
+# engine-specific in-bound element; set-overlap and quota-error bounds vs
+# the exact anchor plus the no-Sort/no-Window plan shape are pinned in tests
+def sample_stratified_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION stratified ~10% sample — the threshold route the exact
+    ``sample_stratified_proportional`` anchor promises: instead of a
+    per-stratum SORT (row_number over the Lehmer pseudokey), pass 1
+    computes each stratum's 10th-percentile pseudokey with
+    ``percentile_approx`` (one grouped sketch aggregate — only mergeable
+    GK summaries shuffle, rank error ≤ n/``STRAT_SKETCH_ACC``), and pass
+    2 broadcasts the per-source threshold frame (bounded by the source
+    domain) and keeps ``pk <= threshold`` MAP-ONLY.
+
+    A stratum too large for one partition's sort is exactly where the
+    anchor's window breaks down at 100 TB; this path never materializes
+    a stratum in one place. Selection stays deterministic and
+    reproducible under any partitioning (same Lehmer pseudokey as the
+    anchor); the kept set differs from the anchor's only at the
+    threshold boundary (GK rank error + pseudokey ties — the anchor
+    tie-breaks by doc_id, the threshold keeps whole tie classes).
+
+    Reference anchor: the harvester's range/percentile lane
+    (``pg.py:87-162``) — the sketch this route reuses is the same one
+    the optimizer statistics harvest ships."""
+    d = load_for_compute(spark, sf_dir, "documents", "doc_id")
+    pk = ((F.col("doc_id") * SAMPLE_MULT) % SAMPLE_MOD).cast("long")
+    v = d.select("doc_id", "source", pk.alias("pk"))
+    thr = (v.groupBy("source")
+           .agg(F.percentile_approx("pk", F.lit(0.1),
+                                    F.lit(STRAT_SKETCH_ACC)).alias("thr"),
+                F.count(F.lit(1)).alias("n_stratum")))
+    return (v.join(F.broadcast(thr), "source")
+            .filter(F.col("pk") <= F.col("thr"))
+            .select("doc_id", "source", F.col("n_stratum").cast("bigint")
+                    .alias("n_stratum")))
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking (sliding token windows with overlap)
 # ---------------------------------------------------------------------------

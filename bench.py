@@ -157,8 +157,10 @@ HEADLINE = [
     "embedding_kmeans_two_steps",
     "setsim_join_prefix",
     "orders_yoy_monthly_growth",
-    # round-6 additions: GK-sketch production decile path
+    # round-6 additions: GK-sketch production decile path + GK-threshold
+    # stratified sampling route
     "stats_price_deciles_sketch",
+    "sample_stratified_sketch",
 ]
 
 

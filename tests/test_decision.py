@@ -110,6 +110,64 @@ def test_stratified_sample_hits_every_stratum(spark):
         assert got[src] == (cnt + 9) // 10
 
 
+def test_stratified_sketch_matches_anchor_within_rank_error(spark):
+    """Production threshold route vs the exact sort-based anchor: every
+    stratum is hit, each stratum's sample size is within the GK rank
+    envelope (n/accuracy + pseudokey tie mass at the threshold) of the
+    anchor's ceil(n/10) quota, and the kept sets differ only at the
+    threshold boundary."""
+    from active_query_optimizer_spark.operators.curation import (
+        SAMPLE_MOD, SAMPLE_MULT, STRAT_SKETCH_ACC)
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "source").collect())
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+
+    sk = QUERIES["sample_stratified_sketch"](spark, SF_SMALL).collect()
+    anchor = {(r["doc_id"], r["source"]) for r in
+              QUERIES["sample_stratified_proportional"](
+                  spark, SF_SMALL).collect()}
+    got: dict = {}
+    for r in sk:
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+        assert r["n_stratum"] == len(by_src[r["source"]])
+
+    assert set(got) == set(by_src), "a stratum got no sample"
+    for src, ids in by_src.items():
+        n = len(ids)
+        pks = sorted(((i * SAMPLE_MULT) % SAMPLE_MOD, i) for i in ids)
+        quota = (n + 9) // 10
+        kept = got[src]
+        # threshold = max kept pk; tie mass at that pseudokey value
+        thr = max((i * SAMPLE_MULT) % SAMPLE_MOD for i in kept)
+        ties = sum(1 for pk, _ in pks if pk == thr)
+        slack = n / STRAT_SKETCH_ACC + ties + 1
+        assert abs(len(kept) - quota) <= slack, (src, len(kept), quota)
+        # boundary-only divergence: everything strictly below the
+        # threshold pseudokey that the anchor kept, the sketch kept too
+        anchor_src = {d for (d, s) in anchor if s == src}
+        for d in anchor_src:
+            if (d * SAMPLE_MULT) % SAMPLE_MOD < thr:
+                assert d in kept, (src, d)
+
+
+def test_stratified_sketch_plan_has_no_sort_or_window(spark):
+    """The whole point of the threshold route: no per-stratum sort. The
+    anchor plans a Window over a sort (positive control); the sketch
+    path must show neither — just the grouped GK aggregate feeding a
+    broadcast hash join and a map-side filter."""
+    sketch_plan = (QUERIES["sample_stratified_sketch"](spark, SF_SMALL)
+                   ._jdf.queryExecution().executedPlan().toString())
+    anchor_plan = (QUERIES["sample_stratified_proportional"](
+        spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in anchor_plan and "Sort [" in anchor_plan
+    assert "Window" not in sketch_plan, sketch_plan
+    assert "Sort [" not in sketch_plan, sketch_plan
+    assert "BroadcastHashJoin" in sketch_plan, sketch_plan
+
+
 def test_median_disc_value_is_group_member(spark):
     """The discrete median must be an actual cents value from its group
     at rank ceil(n/2) — spot-check one group end-to-end in pandas."""

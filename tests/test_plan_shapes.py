@@ -80,6 +80,8 @@ BOUNDED_BROADCAST_BY_DESIGN = {
     "stats_histogram_equiwidth": "global (min,max) bounds scalar (1 row)",
     "stats_price_deciles_sketch":
         "single-row GK decile-boundary aggregate (9 values)",
+    "sample_stratified_sketch":
+        "per-source GK threshold frame (fixed source domain)",
     "tpch_q11_important_parts": "single-row grand-total scalar",
     "tpch_q15_top_supplier": "single-row global-MAX scalar",
     "tpch_q22_lapsed_high_balance": "single-row global-average scalar",
