@@ -93,13 +93,17 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
     replaces the caller's if a zombie variant forced a JVM teardown
     (see ``_revive_spark``); tests leave the cache off."""
     register_views(spark, sf_dir)
+    print("labeling: harvesting ranges...", file=sys.stderr, flush=True)
     rd = harvest_range_dict(spark, sf_dir)
+    print("labeling: generating workload...", file=sys.stderr, flush=True)
     wl = sorted(generate_workload(spark, rd, num_sql=2 * num_queries,
                                   seed=seed).collect(),
                 key=lambda r: r["id"])
     hits = lookups = 0
     out: list[tuple[str, list[Candidate]]] = []
     for r in wl:
+        print(f"labeling: q{r['id']} (kept {len(out)}/{num_queries})",
+              file=sys.stderr, flush=True)
         try:
             if cache_dir is not None:
                 from ..plans.labelcache import bundle_key, cached_label_query
@@ -197,6 +201,9 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     n_train = max(1, int(len(bundles) * train_frac))
     train, test = bundles[:n_train], bundles[n_train:]
 
+    print(f"labeling done: {len(bundles)} bundles "
+          f"(cache {cache_hits}/{cache_lookups} hits); training main split",
+          file=sys.stderr, flush=True)
     main_eval = _split_eval(spark, train, test, epochs, seed)
     loss, wloss = main_eval["loss"], main_eval["wloss"]
     picked = main_eval["picked"]
@@ -208,6 +215,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         fold_rows = []
         block = len(bundles) // cross_folds
         for j in range(cross_folds):
+            print(f"cross-split fold {j}/{cross_folds}", file=sys.stderr,
+                  flush=True)
             lo, hi = j * block, (j + 1) * block if j < cross_folds - 1 \
                 else len(bundles)
             f_test = bundles[lo:hi]
@@ -284,6 +293,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         valids.append([(q, [(c.plan, float(c.exec_time_ms)) for c in cs])
                        for q, cs in bundles[i + per_batch:i + per_batch + 1]])
         i += per_batch + 1
+    print("deployment series...", file=sys.stderr, flush=True)
     deployment = run_deployment(spark, trains, valids, epochs=epochs,
                                 seed=seed)
 
