@@ -29,25 +29,89 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). Round-6 layout
-#: (round-5 verdict item #1: the rotation-debt linter's exact list):
-#: - the 36 entries whose newest driver rows are r2 (age 4 at r6 assembly
-#:   — past the MAX_STALENESS=3 bound) fill the front of the window;
-#: - then the 2 k-means entries whose source changed this round (the
-#:   Lloyd-round fold onto _km_assign_update — fresh rows prove the
-#:   shared helper preserves the exact oracles);
-#: - then the 2 new round-6 entries (the GK-sketch production decile
-#:   path and the GK-threshold stratified-sampling route);
-#: - the remaining 10 slots go to the stalest r03-green entries
-#:   (union_distinct_keys, r03-green, sits first past the boundary and
-#:   ages into round 7's forced window with the other 35 r03 entries).
-#: Everything r04/r05-green rotates to the tail (freshest rows first).
+#: Driver-facing registration order (see module docstring). ROUND-8 layout
+#: (round-7 verdict item #1: clear the 82-query rotation debt, which needs
+#: THREE windows, not the verdict's two — at round-9 assembly the 48
+#: r05-green entries age past the bound alongside the leftover 32 r04
+#: entries, 80 offenders vs 50 slots, so full green lands at round 10):
+#: - round-8 window: all 35 r03-green entries (age 5) + 15 r04 entries;
+#: - committed round-9 window: remaining 32 r04 + 18 oldest r05 entries;
+#: - committed round-10 block: remaining 30 r05 entries (+20 spare slots
+#:   for the stalest r07-tail entries, due at r11).
+#: The plan is executable: tests/test_driver_rotation.py::PLANNED_LEFTOVERS
+#: allows exactly these leftovers at rounds 8/9 and nothing at round 10+.
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
-#: sweep (``tools/driver_sim.py`` -> SWEEP_r6.json, sf0.01 + sf0.1)
+#: sweep (``tools/driver_sim.py`` -> SWEEP_r*.json, sf0.01 + sf0.1)
 #: re-verifies the whole registry every round.
 _DRIVER_ORDER = [
-    # --- r02-green entries at the staleness bound (36)
+    # ---- ROUND-8 WINDOW (50): every r03-green entry (35, age 5) plus the
+    #      15 alphabetically-first r04-green entries (age 4). These are 50
+    #      of the 82 rotation-debt offenders the round-7 verdict listed.
+    "cohort_retention_weekly", "cross_source_overlap",
+    "decontam_ngram_overlap", "dedup_fingerprint_survivors",
+    "embedding_dim_stats", "embedding_gram_upper", "embedding_norm_histogram",
+    "embedding_outlier_flags", "embedding_pca_project",
+    "embedding_quantize_int8", "event_funnel_steps", "events_anomaly_days",
+    "events_pivot_daily", "events_resample_hourly_gapfill", "knn_label_vote",
+    "multimodal_feature_extract", "multimodal_frame_sample",
+    "multimodal_resize_grid", "pii_flag_docs", "quality_repetition_rules",
+    "quality_token_freq_score", "sample_weighted_mix", "seq_length_histogram",
+    "split_assign_hash", "stats_histogram_equiwidth",
+    "stats_join_size_cm_sketch", "stats_join_size_exact",
+    "stats_key_skew_profile", "stats_length_percentiles",
+    "stream_conversion_attribution", "tfidf_top_terms_per_source",
+    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
+    "union_distinct_keys", "window_running_total", "ann_ivf_pq_topk",
+    "broadcast_join_count", "case_when_bucket_agg",
+    "cluster_centroid_vectors", "count_min_multi_agg", "cube_agg",
+    "date_trunc_monthly", "datetime_parts_agg",
+    "decontam_substring_containment", "dedup_embedding_clusters",
+    "dedup_minhash_clusters", "distinct_count", "docrank_neardup_pagerank",
+    "embedding_lang_centroids", "events_first_touch",
+    # -------------- driver window boundary (50) --------------
+    # ---- COMMITTED ROUND-9 WINDOW (50): the remaining 32 r04-green
+    #      entries (age 5 by then) + the 18 alphabetically-first r05-green
+    #      entries (age 4 by then). Mirrored in tests/test_driver_rotation.py
+    #      PLANNED_LEFTOVERS[8]; move this block to the front at round 9.
+    "events_unpivot_daily", "graph_triangle_count", "groupby_having",
+    "grouping_sets_agg", "intersect_except_keys", "latest_order_per_customer",
+    "min_projection_job_style", "pred_between", "pred_epoch_int",
+    "pred_eq_neq", "pred_in", "pred_like", "pred_not_like",
+    "pred_null_checks", "pred_range_ops", "pred_ts_literal",
+    "scalar_subquery_small_qty", "stats_column_cardinalities_approx",
+    "stats_null_profile", "stats_price_deciles", "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q22_lapsed_high_balance", "tpch_q7_nation_volume",
+    "upsert_snapshot_apply", "window_rolling_7day_avg", "basket_brand_pairs",
+    "dedup_exact_docs", "dedup_paragraph_rewrite", "dedup_paragraph_spans",
+    "dq_constraint_report", "events_burst_users", "events_decay_weighted_sum",
+    "events_time_weighted_value", "events_trailing_7d_active_users",
+    "events_transition_matrix", "flagship_multijoin_count",
+    "full_outer_reconciliation", "graph_bfs_hops",
+    "incremental_agg_maintenance", "join_bloom_prefilter_count",
+    "order_gap_stats_per_customer", "orders_rfm_segments",
+    "orders_yoy_monthly_growth",
+    # ---- COMMITTED ROUND-10 BLOCK (30): remaining r05-green entries —
+    #      age 5 at round-10 assembly; PLANNED_LEFTOVERS[9]. 20 spare round-10
+    #      slots go to the stalest r07 tail entries below (due at r11).
+    "pareto_front_orders", "pricing_summary", "props_extract_sum",
+    "quality_length_percent_rank", "sample_balanced_per_lang",
+    "sample_stratified_proportional", "sample_temperature_mixture",
+    "scd2_history_build", "setsim_join_prefix", "sevenway_join_count",
+    "stats_corr_qty_discount", "stats_length_percentiles_approx",
+    "stats_median_disc_per_group", "stats_reservoir_sample_profile",
+    "stats_revenue_gini", "text_chunk_overlap", "text_edit_distance_pairs",
+    "text_quality_scores", "text_token_stats", "text_vocab_stats",
+    "tpch_q11_important_parts", "tpch_q16_supplier_variety",
+    "tpch_q20_promo_volume_suppliers", "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "window_dense_rank_ties", "zorder_layout_profile",
+    # ---- r07-green tail (50): refreshed by the byte-identical r06+r07
+    #      windows; due again across rounds 10-11.
     "hypertable_rollup_daily", "text_bpe_token_count", "text_langid",
     "text_fingerprint", "text_lang_summary", "text_pattern_flags",
     "text_top_terms", "dedup_simhash_pairs", "dedup_simhash",
@@ -62,75 +126,12 @@ _DRIVER_ORDER = [
     "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
     "groupby_agg", "ann_lsh_bucketed", "ann_ivf_topk",
     "coreset_select_embeddings", "dedup_minhash_lsh", "pack_sequences_budget",
-    "stream_sessionize_events",
-    # --- source changed this round: Lloyd-round fold (2)
-    "embedding_kmeans_step", "embedding_kmeans_two_steps",
-    # --- new this round: first driver rows (2)
-    "stats_price_deciles_sketch", "sample_stratified_sketch",
-    # --- stalest r03-green entries (10 slots remain in the window)
-    "rollup_agg", "scan_filter_count", "projection_join", "hash_join_count",
-    "merge_join_count", "nested_loop_theta_count", "self_join_count",
-    "pred_or", "semi_join_exists", "anti_join_not_exists",
-    # ---------------- driver window boundary (50) ----------------
-    "union_distinct_keys",
-    # --- r05-green (the round-5 window), freshest rows first (48)
-    "dedup_paragraph_spans", "dedup_paragraph_rewrite", "text_chunk_overlap",
-    "sample_temperature_mixture", "stats_corr_qty_discount",
-    "stats_length_percentiles_approx", "dq_constraint_report",
-    "zorder_layout_profile", "scd2_history_build",
-    "incremental_agg_maintenance", "graph_bfs_hops", "pareto_front_orders",
-    "events_decay_weighted_sum", "quality_length_percent_rank",
-    "stats_reservoir_sample_profile", "events_time_weighted_value",
-    "basket_brand_pairs", "stats_revenue_gini", "events_transition_matrix",
-    "orders_rfm_segments", "text_vocab_stats", "events_burst_users",
-    "orders_yoy_monthly_growth", "tpch_q4_priority_exists",
-    "tpch_q6_forecast_revenue", "tpch_q9_product_profit",
-    "tpch_q20_promo_volume_suppliers", "text_edit_distance_pairs",
-    "stats_median_disc_per_group", "sample_stratified_proportional",
-    "order_gap_stats_per_customer", "events_trailing_7d_active_users",
-    "window_dense_rank_ties", "tpch_q11_important_parts",
-    "full_outer_reconciliation", "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share", "tpch_q16_supplier_variety",
-    "join_bloom_prefilter_count", "setsim_join_prefix",
-    "flagship_multijoin_count", "sevenway_join_count", "pricing_summary",
-    "dedup_exact_docs", "props_extract_sum", "sample_balanced_per_lang",
-    "text_token_stats", "text_quality_scores",
-    # --- r04-green tail (47)
-    "datetime_parts_agg", "cube_agg", "grouping_sets_agg", "pred_not_like",
-    "pred_between", "intersect_except_keys", "date_trunc_monthly",
-    "pred_eq_neq", "distinct_count", "pred_ts_literal", "pred_range_ops",
-    "broadcast_join_count", "min_projection_job_style", "groupby_having",
-    "pred_null_checks", "pred_like", "case_when_bucket_agg", "pred_in",
-    "pred_epoch_int", "count_min_multi_agg",
-    "stats_column_cardinalities_approx", "decontam_substring_containment",
-    "window_rolling_7day_avg", "latest_order_per_customer",
-    "scalar_subquery_small_qty", "events_unpivot_daily", "stats_null_profile",
-    "embedding_lang_centroids", "graph_triangle_count",
-    "upsert_snapshot_apply", "tpch_q10_returned_items", "events_first_touch",
-    "stats_price_deciles", "cluster_centroid_vectors",
-    "tpch_q7_nation_volume", "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_share", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q22_lapsed_high_balance",
-    "ann_ivf_pq_topk", "dedup_minhash_clusters", "dedup_embedding_clusters",
-    "docrank_neardup_pagerank", "tpch_q21_waiting_supplier",
-    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
-    # --- r03-green tail (34; first in line for round 7 with the 11
-    #     r03 window entries above already refreshed this round)
-    "multimodal_feature_extract", "multimodal_resize_grid",
-    "multimodal_frame_sample", "dedup_fingerprint_survivors",
-    "decontam_ngram_overlap", "quality_repetition_rules", "pii_flag_docs",
-    "split_assign_hash", "seq_length_histogram", "tfidf_top_terms_per_source",
-    "embedding_norm_histogram", "stream_conversion_attribution",
-    "event_funnel_steps", "cohort_retention_weekly", "knn_label_vote",
-    "quality_token_freq_score", "cross_source_overlap",
-    "stats_length_percentiles", "embedding_quantize_int8",
-    "embedding_dim_stats", "embedding_gram_upper", "embedding_pca_project",
-    "sample_weighted_mix", "stats_histogram_equiwidth", "events_anomaly_days",
-    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
-    "window_running_total", "stats_join_size_exact",
-    "stats_join_size_cm_sketch", "stats_key_skew_profile",
-    "events_pivot_daily", "events_resample_hourly_gapfill",
-    "embedding_outlier_flags",
+    "stream_sessionize_events", "embedding_kmeans_step",
+    "embedding_kmeans_two_steps", "stats_price_deciles_sketch",
+    "sample_stratified_sketch", "rollup_agg", "scan_filter_count",
+    "projection_join", "hash_join_count", "merge_join_count",
+    "nested_loop_theta_count", "self_join_count", "pred_or",
+    "semi_join_exists", "anti_join_not_exists",
 ]
 
 
