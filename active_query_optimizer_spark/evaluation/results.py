@@ -51,7 +51,17 @@ def _revive_spark(spark: SparkSession, app: str = "aqo-results-revived",
     ``ZombieExecutionError``) survives ``SparkContext.stop()`` too: stop
     only interrupts the executor pools. Shutting the py4j gateway down
     kills the JVM outright, and clearing the cached gateway/jvm handles
-    makes the next ``getOrCreate`` launch a clean one."""
+    makes the next ``getOrCreate`` launch a clean one.
+
+    This necessarily reaches into private PySpark internals
+    (``SparkContext._gateway/_jvm/_active_spark_context``,
+    ``SparkSession._instantiatedSession/_activeSession``) — pinned to the
+    PySpark 4.x layout by ``tests/test_results_pipeline.py``'s internals
+    assertion, so an upgrade that moves them fails loudly in CI instead
+    of handing back a handle to a dead JVM. Every handle is cleared
+    best-effort even when ``stop()`` raises (round-6 advice: relying on
+    ``stop()`` to clear them leaves getOrCreate pointing at the dead
+    JVM)."""
     from pyspark import SparkContext
 
     from ..session import get_spark
@@ -67,9 +77,27 @@ def _revive_spark(spark: SparkSession, app: str = "aqo-results-revived",
         pass
     SparkContext._gateway = None
     SparkContext._jvm = None
+    # stop() normally clears these; clear them unconditionally so a
+    # failed stop() can't leave getOrCreate returning the dead session
+    with SparkContext._lock:
+        SparkContext._active_spark_context = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
     fresh = get_spark(app)
     fresh.sparkContext.setLogLevel("ERROR")
     return fresh
+
+
+def _clamp_folds(cross_folds: int, n_bundles: int) -> int:
+    """Clamp the cross-validation fold count so every fold's held-out
+    slice is non-empty (round-6 advice: only >=3 bundles are guaranteed,
+    and an oversized ``SPARK_GRAFT_CROSS_FOLDS`` made ``block == 0`` and
+    ``_split_eval`` fail on an empty test set)."""
+    if cross_folds > n_bundles:
+        print(f"WARNING: cross_folds={cross_folds} > {n_bundles} bundles; "
+              f"clamping", file=sys.stderr)
+        return n_bundles
+    return cross_folds
 
 
 def label_generated_workload(spark: SparkSession, sf_dir: str,
@@ -78,7 +106,7 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
                              timeout_s: float | None = LABEL_TIMEOUT_S,
                              cache_dir: str | None = None,
                              ) -> tuple[list[tuple[str, list[Candidate]]],
-                                        int]:
+                                        tuple[int, int], SparkSession]:
     """Generate a seeded workload against ``sf_dir``'s views and label each
     query by executing its plan variants. Queries whose variants collapse
     to one physical plan carry no ranking signal and are skipped (the
@@ -118,20 +146,23 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
                 cands = label_query(spark, r["sql"], strategies, timeout_s)
         except ZombieExecutionError as e:
             # one variant ignored the full cancellation escalation: the
-            # query is poisoned — drop it (the generator over-samples 2x
-            # for exactly this kind of loss), tear the JVM down so the
-            # runaway threads actually die, and move on. With the cache
-            # on, persist an EMPTY bundle so reruns skip it instantly
-            # (an empty bundle is <2 candidates = unrankable, the same
-            # skip semantics as a plan-collapse query).
+            # query is poisoned — drop it for this run (the generator
+            # over-samples 2x for exactly this kind of loss), tear the
+            # JVM down so the runaway threads actually die, and move on.
+            # With the cache on, record a POISONED marker with a cross-run
+            # retry budget (round-6 advice: a transient machine condition
+            # must not exclude the query from every future round); only a
+            # repeat offender gets the permanent plan-collapse skip.
             print(f"WARNING: q{r['id']} poisoned ({e}); reviving session",
                   file=sys.stderr)
             spark = _revive_spark(spark)
             register_views(spark, sf_dir)
             if cache_dir is not None:
-                from ..plans.labelcache import write_bundle
+                from ..plans.labelcache import record_poisoned
 
-                write_bundle(cache_dir, key, [])
+                n = record_poisoned(cache_dir, key, error=str(e))
+                print(f"WARNING: q{r['id']} poison attempts: {n}",
+                      file=sys.stderr)
             continue
         if len(cands) >= 2:
             out.append((f"q{r['id']}", cands))
@@ -212,6 +243,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     # generation-ordered bundle list (k disjoint held-out blocks)
     cross: dict[str, Any] | None = None
     if cross_folds > 1:
+        cross_folds = _clamp_folds(cross_folds, len(bundles))
         fold_rows = []
         block = len(bundles) // cross_folds
         for j in range(cross_folds):

@@ -7,13 +7,28 @@ makes growth incremental: a labeled bundle is persisted under a key of
 
     (sql text, strategy tuple, timeout, sf_dir, code fingerprint)
 
-where the code fingerprint hashes the three modules whose behavior the
+where the code fingerprint hashes the four modules whose behavior the
 labels embed — ``plans/explore.py`` (variant construction, timing,
-realized-plan capture), ``plans/featurize.py`` (plan serialization) and
-``session.py`` (the session confs execution runs under). Any edit to
-those files invalidates every cached label, so a stale label can never
-survive an operator/labeling change; a workload-generator change shows up
-in the SQL text itself.
+realized-plan capture), ``plans/featurize.py`` (plan serialization),
+``session.py`` (the session confs execution runs under) and
+``catalog.py`` (the view/load semantics every cached SQL executed
+against — round-6 advice: a catalog change must not reuse stale labels).
+Any edit to those files invalidates every cached label, so a stale label
+can never survive an operator/labeling change; a workload-generator
+change shows up in the SQL text itself. ``sf_dir`` is additionally keyed
+by a DATA fingerprint (relative name + size + mtime of every parquet
+file under it), so regenerated data at the same path relabels rather
+than silently reusing labels measured against different rows. The
+deliberate tradeoff: a byte-identical regeneration also relabels (mtime
+moves) — conservative, never stale.
+
+A ``ZombieExecutionError`` during labeling is recorded as a POISONED
+marker (``{"poisoned": true, "attempts": n, "error": ...}``), not an
+empty bundle: reruns retry the query up to ``MAX_POISON_ATTEMPTS`` times
+(a transient machine condition should not exclude a query from every
+future measurement round), and only a repeat offender is skipped
+permanently. Legacy empty-list bundles written by the round-6 scheme are
+read as poison markers with one attempt spent, so they too get a retry.
 
 MEASUREMENT-PROTOCOL NOTE (the deliberate decision the round-5 verdict
 asked for): with the cache on, a grown workload's totals mix measurement
@@ -47,7 +62,13 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
 
 #: modules whose source the labels' semantics depend on
-_FINGERPRINT_FILES = ("plans/explore.py", "plans/featurize.py", "session.py")
+_FINGERPRINT_FILES = ("plans/explore.py", "plans/featurize.py", "session.py",
+                      "catalog.py")
+
+#: a poisoned query is retried this many times across runs before it is
+#: skipped for good (a zombie variant is usually a pathological plan, but
+#: round-6 advice: it can also be a transient machine condition)
+MAX_POISON_ATTEMPTS = 2
 
 
 def code_fingerprint() -> str:
@@ -61,12 +82,31 @@ def code_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+def data_fingerprint(sf_dir: str) -> str:
+    """Hash of (relative path, size, mtime_ns) for every parquet file under
+    ``sf_dir``, recursively (partitioned tables are directories). Any data
+    regeneration at the same path changes this and relabels."""
+    root = os.path.normpath(sf_dir)
+    entries = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(dirpath, f)
+                st = os.stat(full)
+                entries.append((os.path.relpath(full, root),
+                                st.st_size, st.st_mtime_ns))
+    entries.sort()
+    h = hashlib.sha256(json.dumps(entries).encode())
+    return h.hexdigest()[:16]
+
+
 def bundle_key(sql: str, strategies: tuple[str, ...],
                timeout_s: float | None, sf_dir: str) -> str:
-    """Content key for one labeled bundle (includes the code fingerprint)."""
+    """Content key for one labeled bundle (includes the code fingerprint
+    and the data fingerprint of ``sf_dir``)."""
     payload = json.dumps(
         [sql, list(strategies), timeout_s, os.path.normpath(sf_dir),
-         code_fingerprint()],
+         code_fingerprint(), data_fingerprint(sf_dir)],
         sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
@@ -97,17 +137,50 @@ def _decode(rows: list[dict]) -> list[Candidate]:
     return out
 
 
-def write_bundle(cache_dir: str, key: str, cands: list[Candidate]) -> None:
-    """Persist one labeled bundle atomically (tmp + rename), so a killed
-    run keeps every bundle it finished — the incremental-growth property.
-    An EMPTY list is a valid bundle: it marks a poisoned/unrankable query
-    so reruns skip it instantly."""
+def _atomic_write(cache_dir: str, key: str, payload) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"{key}.json.gz")
     tmp = f"{path}.tmp.{os.getpid()}"
     with gzip.open(tmp, "wt") as fh:
-        json.dump(_encode(cands), fh)
+        json.dump(payload, fh)
     os.replace(tmp, path)
+
+
+def write_bundle(cache_dir: str, key: str, cands: list[Candidate]) -> None:
+    """Persist one labeled bundle atomically (tmp + rename), so a killed
+    run keeps every bundle it finished — the incremental-growth property.
+    An empty/short list is a valid bundle: it marks a genuinely
+    unrankable (plan-collapse) query so reruns skip it instantly. A
+    POISONED query is different — record it with ``record_poisoned`` so
+    it keeps a retry budget."""
+    _atomic_write(cache_dir, key, _encode(cands))
+
+
+def record_poisoned(cache_dir: str, key: str, error: str = "") -> int:
+    """Mark ``key`` poisoned (a zombie variant survived cancellation),
+    incrementing its cross-run attempt count; returns the new count.
+    Reruns retry the query until ``MAX_POISON_ATTEMPTS`` is spent."""
+    attempts = 1
+    prior = read_bundle(cache_dir, key)
+    if isinstance(prior, dict) and prior.get("poisoned"):
+        attempts = int(prior.get("attempts", 1)) + 1
+    _atomic_write(cache_dir, key,
+                  {"poisoned": True, "attempts": attempts, "error": error})
+    return attempts
+
+
+def read_bundle(cache_dir: str, key: str):
+    """Raw cache read: ``None`` (miss), a poison-marker dict, or the
+    encoded candidate list. A legacy empty-list bundle (the round-6
+    poisoned encoding) is normalized to a marker with one attempt spent."""
+    path = os.path.join(cache_dir, f"{key}.json.gz")
+    if not os.path.exists(path):
+        return None
+    with gzip.open(path, "rt") as fh:
+        raw = json.load(fh)
+    if raw == []:
+        return {"poisoned": True, "attempts": 1, "error": "legacy"}
+    return raw
 
 
 def cached_label_query(spark: "SparkSession", sql: str,
@@ -116,16 +189,24 @@ def cached_label_query(spark: "SparkSession", sql: str,
                        cache_dir: str) -> list[Candidate]:
     """``label_query`` with a read-through, write-behind bundle cache.
     Hits rebuild the Candidate list from the stored bundle without
-    touching the cluster; misses label live and persist the result."""
+    touching the cluster; misses label live and persist the result. A
+    poison marker under its retry budget is treated as a miss (the query
+    relabels live — the caller records a new marker if it zombies again);
+    an exhausted marker returns ``[]``, the same skip semantics as a
+    plan-collapse bundle."""
     key = bundle_key(sql, strategies, timeout_s, sf_dir)
-    path = os.path.join(cache_dir, f"{key}.json.gz")
-    if os.path.exists(path):
-        with gzip.open(path, "rt") as fh:
-            return _decode(json.load(fh))
+    raw = read_bundle(cache_dir, key)
+    if isinstance(raw, list):
+        return _decode(raw)
+    if isinstance(raw, dict) and raw.get("poisoned"):
+        if int(raw.get("attempts", 1)) >= MAX_POISON_ATTEMPTS:
+            return []
+        # under budget: fall through and retry live
     cands = label_query(spark, sql, strategies, timeout_s)
     write_bundle(cache_dir, key, cands)
     return cands
 
 
-__all__ = ["cached_label_query", "write_bundle", "bundle_key",
-           "code_fingerprint"]
+__all__ = ["cached_label_query", "write_bundle", "read_bundle",
+           "record_poisoned", "bundle_key", "code_fingerprint",
+           "data_fingerprint", "MAX_POISON_ATTEMPTS"]

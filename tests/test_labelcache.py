@@ -57,6 +57,102 @@ def test_candidate_roundtrip_exact():
     assert back.plan.rows == 10.0 and back.plan.width == 2.0
 
 
+def test_catalog_is_fingerprinted():
+    # round-6 advice: a catalog-semantics change (register_views /
+    # load_table) must invalidate every cached label
+    assert "catalog.py" in LC._FINGERPRINT_FILES
+
+
+def test_bundle_key_sensitive_to_data_regeneration(tmp_path):
+    """Regenerated parquet at the SAME path must re-key (round-6 advice:
+    the key was path-only, so new data silently reused old labels)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    f = sf / "orders.parquet"
+    f.write_bytes(b"v1-bytes")
+    base = LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf))
+    assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) == base
+    f.write_bytes(b"v2-bytes-longer")  # size change
+    assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) != base
+    # partitioned-table layout: a new file in a subdirectory re-keys too
+    f.write_bytes(b"v1-bytes")
+    os.utime(f, ns=(1, 1))
+    pinned = LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf))
+    part = sf / "events.parquet" / "day=1"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"x")
+    assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) != pinned
+
+
+def test_poisoned_marker_retries_then_expires(tmp_path, monkeypatch):
+    """A zombie-poisoned query keeps a cross-run retry budget instead of
+    being excluded forever (round-6 advice)."""
+    cache = str(tmp_path)
+    key = LC.bundle_key("SELECT 1", ("A",), 30.0, "/data/sf0.1")
+
+    assert LC.record_poisoned(cache, key, error="zombie") == 1
+    marker = LC.read_bundle(cache, key)
+    assert marker == {"poisoned": True, "attempts": 1, "error": "zombie"}
+
+    # under budget: the cache treats it as a miss and relabels live
+    calls = []
+    monkeypatch.setattr(
+        LC, "label_query",
+        lambda spark, sql, strategies, timeout_s: calls.append(sql) or
+        [_cand()])
+    out = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
+                                "/data/sf0.1", cache)
+    assert calls == ["SELECT 1"] and len(out) == 1
+    # ...and a successful retry REPLACES the marker with a real bundle
+    assert isinstance(LC.read_bundle(cache, key), list)
+
+    # budget exhausted: permanent skip, no cluster touch (spark=None)
+    for _ in range(LC.MAX_POISON_ATTEMPTS):
+        LC.record_poisoned(cache, key, error="zombie again")
+    calls.clear()
+    out = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
+                                "/data/sf0.1", cache)
+    assert out == [] and calls == []
+
+
+def test_legacy_empty_bundle_reads_as_one_spent_attempt(tmp_path):
+    """Round-6 wrote poisoned queries as empty lists; they must surface
+    as markers with one attempt spent so they get a retry."""
+    cache = str(tmp_path)
+    key = "legacykey"
+    with gzip.open(os.path.join(cache, f"{key}.json.gz"), "wt") as fh:
+        json.dump([], fh)
+    marker = LC.read_bundle(cache, key)
+    assert marker["poisoned"] and marker["attempts"] == 1
+    # a second poisoning on top of the legacy marker accumulates
+    assert LC.record_poisoned(cache, key) == 2
+
+
+def test_revive_spark_internals_still_exist():
+    """_revive_spark (evaluation/results.py) reaches into private PySpark
+    internals; pin the 4.x layout so an upgrade fails loudly here instead
+    of silently handing back a dead JVM (round-6 advice)."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    for obj, attr in ((SparkContext, "_gateway"), (SparkContext, "_jvm"),
+                      (SparkContext, "_lock"),
+                      (SparkContext, "_active_spark_context"),
+                      (SparkSession, "_instantiatedSession"),
+                      (SparkSession, "_activeSession")):
+        assert hasattr(obj, attr), f"{obj.__name__}.{attr} moved"
+
+
+def test_cross_folds_clamped_to_bundle_count(capsys):
+    from active_query_optimizer_spark.evaluation.results import _clamp_folds
+
+    assert _clamp_folds(3, 24) == 3        # normal: untouched
+    assert _clamp_folds(8, 3) == 3         # oversized: every fold >=1 test
+    assert "clamping" in capsys.readouterr().err
+    # with the clamp, block size is always >= 1
+    assert 3 // _clamp_folds(8, 3) >= 1
+
+
 def test_hit_path_never_touches_the_cluster(tmp_path):
     """A present cache file must satisfy the call without a SparkSession
     (spark=None would explode on any live-labeling path)."""
