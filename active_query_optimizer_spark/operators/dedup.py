@@ -306,50 +306,94 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verification at 0.8.
 
     Scale shape: the only wide ops are the bucket join (keyed by a 64-bit
-    band hash — skew-safe because identical band keys imply near-identical
-    docs) and the final per-pair verification, which touches candidate
-    pairs only, never the full cross product."""
+    band hash) and the final per-pair verification, which touches
+    candidate pairs only, never the full cross product.
+
+    MEGA-BUCKET HARDENING (round-7 verdict #6; SCALE.md sf1 rehearsal):
+    degenerate documents (empty/boilerplate) all share one shingle set,
+    hence one signature, hence every band bucket — standalone, the bucket
+    self-join was quadratic in that group's size. The operator now
+    collapses identical (sorted) shingle sets FIRST: one representative
+    per distinct set enters banding, so a million identical docs
+    contribute ONE row to every bucket. Output-preserving by
+    construction: the signature is a pure function of the shingle set, so
+    (a) within-group pairs have exact Jaccard 1.0 >= t and are emitted
+    directly (the true output for identical docs — no candidate or
+    verify work), and (b) a cross-group member pair was a candidate iff
+    its representative pair is, with an identical verified Jaccard,
+    so representative pairs expand to member pairs losslessly. The
+    pipeline ordering defense (fingerprint-dedup first, run_curation.py)
+    is now an optimization, not a correctness crutch."""
     from pyspark import StorageLevel
 
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
-    # persist the (shingles, signature) table: FOUR consumers read it (both
-    # sides of the band self-join + both verification sides), and lineage
-    # recomputation would re-run shingling/OPH once per consumer. At 100 TB
-    # this persist becomes "write the signature table once, join against
-    # it" — same dataflow, storage-backed.
-    sig = (d.select("doc_id", tt.shingle_hashes(
-              F.col("text"), n=MINHASH_SHINGLE_N).alias("s"))
-           .withColumn("sig", tt.minhash_signature_oph(F.col("s")))
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    sh = sig.select("doc_id", "s")
+    # tag every doc with its distinct-set representative (min doc_id over
+    # the sorted shingle set) and the group size — one window shuffle.
+    # Persisted: membership feeds the within-group lane + both expansion
+    # sides, and the reps projection feeds banding + both verify sides.
+    # At 100 TB this persist becomes "write the membership/signature
+    # tables once, join against them" — same dataflow, storage-backed.
+    w = Window.partitionBy("s")
+    tagged = (d.select("doc_id", F.array_sort(tt.shingle_hashes(
+                  F.col("text"), n=MINHASH_SHINGLE_N)).alias("s"))
+              .withColumn("rep", F.min("doc_id").over(w))
+              .withColumn("grp_n", F.count(F.lit(1)).over(w))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    memb = tagged.select("doc_id", "rep")
+    # signatures computed once per DISTINCT shingle set (also skips the
+    # OPH work the old per-doc path repeated on every duplicate)
+    reps = (tagged.filter(F.col("doc_id") == F.col("rep"))
+            .select("rep", "s")
+            .withColumn("sig", tt.minhash_signature_oph(F.col("s")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
+    # lane 1: identical shingle sets — exact Jaccard 1.0, no LSH needed.
+    # Only multi-member groups join (singletons — almost all docs — are
+    # pre-filtered); the join output is the true all-pairs answer for
+    # identical docs, so its size is output-bound, and AQE's skew-join
+    # splits a pathological group's partitions at runtime.
+    multi = tagged.filter(F.col("grp_n") > 1).select("doc_id", "rep")
+    ma = multi.select(F.col("rep").alias("r"), F.col("doc_id").alias("doc_a"))
+    mb = multi.select(F.col("rep").alias("r"), F.col("doc_id").alias("doc_b"))
+    within = (ma.join(mb, "r")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b",
+                      F.lit(1.0).cast("double").alias("jaccard")))
+
+    # lane 2: LSH over distinct sets only
     bands = F.array(*[
         F.xxhash64(F.lit(t), F.slice(F.col("sig"), t * LSH_ROWS + 1, LSH_ROWS))
         for t in range(LSH_BANDS)
     ])
-    ex = sig.select("doc_id", F.explode(bands).alias("bk"))
+    ex = reps.select("rep", F.explode(bands).alias("bk"))
     a, b = ex.alias("a"), ex.alias("b")
-    cand = (
+    rcand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+               & (F.col("a.rep") < F.col("b.rep")))
+        .select(F.col("a.rep").alias("ra"), F.col("b.rep").alias("rb"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    x = reps.select(F.col("rep").alias("ra"), F.col("s").alias("sa"))
+    y = reps.select(F.col("rep").alias("rb"), F.col("s").alias("sb"))
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = common.cast("double") / (F.size("sa") + F.size("sb") - common)
-    return (
-        # verification joins are plain shuffle joins keyed on doc ids: on a
-        # near-dup-heavy corpus candidate pairs scale with the corpus, so a
-        # hard-coded broadcast of `cand` would blow the broadcast limit at
-        # 100 TB. Doc-id keys are unique per side (skew-safe), and AQE still
-        # downgrades to a broadcast join at runtime when cand is tiny.
-        x.join(cand, "doc_a")
-        .join(y, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    # verification joins are plain shuffle joins keyed on rep ids: on a
+    # near-dup-heavy corpus candidate pairs scale with the corpus, so a
+    # hard-coded broadcast of `rcand` would blow the broadcast limit at
+    # 100 TB. Rep keys are unique per side (skew-safe), and AQE still
+    # downgrades to a broadcast join at runtime when rcand is tiny.
+    rpairs = (x.join(rcand, "ra")
+              .join(y, "rb")
+              .select("ra", "rb", jac.alias("jaccard"))
+              .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
+    # expand verified representative pairs to member pairs (groups are
+    # disjoint, so each unordered doc pair appears exactly once)
+    da = memb.select(F.col("rep").alias("ra"), F.col("doc_id").alias("da"))
+    db = memb.select(F.col("rep").alias("rb"), F.col("doc_id").alias("db"))
+    cross = (rpairs.join(da, "ra").join(db, "rb")
+             .select(F.least("da", "db").alias("doc_a"),
+                     F.greatest("da", "db").alias("doc_b"), "jaccard"))
+    return within.unionByName(cross)
 
 
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
