@@ -8,10 +8,12 @@ registration order (observed in round 1: CORRECTNESS_r01 keys == first 50).
 ``_DRIVER_ORDER`` below therefore rotates a 50-entry window each round:
 stalest-green entries, this round's first-row additions, and any entry
 whose source changed come first; everything already green in recent
-rounds rotates to the tail. Prior-round green rows remain on record, the
-union of all round windows covers the whole registry, and the full local
-sweep (``tools/driver_sim.py`` → ``SWEEP_r{N}.json``, sf0.01 + sf0.1)
-re-verifies every entry every round regardless of window position.
+rounds rotates to the tail. Prior-round green rows remain on record and
+the union of all round windows covers the whole registry. The full local
+sweep (``tools/driver_sim.py`` → ``SWEEP_r{N}.json``, sf0.01 + sf0.1) is
+the backstop for entries whose SOURCE changes outside their window — it
+must run (and its artifact be committed) in any round that edits
+operator code; committed artifacts: SWEEP_r4/r5/r6/r9.
 """
 
 from . import relational  # noqa: F401
@@ -29,51 +31,29 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). ROUND-8 layout
-#: (round-7 verdict item #1: clear the 82-query rotation debt, which needs
-#: THREE windows, not the verdict's two — at round-9 assembly the 48
-#: r05-green entries age past the bound alongside the leftover 32 r04
-#: entries, 80 offenders vs 50 slots, so full green lands at round 10):
-#: - round-8 window: all 35 r03-green entries (age 5) + 15 r04 entries;
-#: - committed round-9 window: remaining 32 r04 + 18 oldest r05 entries;
+#: Driver-facing registration order (see module docstring). ROUND-9 layout
+#: (executes the rotation plan committed at round 8 — the three-window
+#: clearance of round-7's 82-query rotation debt):
+#: - round-9 window (NOW FIRST): the 32 r04-green leftovers (age 5) + the
+#:   18 alphabetically-first r05-green entries (age 4) — byte-for-byte the
+#:   block that round 8 committed as "move to the front at round 9";
 #: - committed round-10 block: remaining 30 r05 entries (+20 spare slots
-#:   for the stalest r07-tail entries, due at r11).
+#:   for the stalest r07-tail entries, due at r11);
+#: - r07-green tail, then the round-8 window (freshest, r8-green) at the
+#:   very end.
 #: The plan is executable: tests/test_driver_rotation.py::PLANNED_LEFTOVERS
-#: allows exactly these leftovers at rounds 8/9 and nothing at round 10+.
+#: allows exactly the round-10 block as leftovers at round-9 assembly and
+#: nothing at round 10+.
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
 #: sweep (``tools/driver_sim.py`` -> SWEEP_r*.json, sf0.01 + sf0.1)
-#: re-verifies the whole registry every round.
+#: re-verifies the whole registry when operator source changes mid-round
+#: (see SWEEP_r*.json artifacts for the rounds where it ran).
 _DRIVER_ORDER = [
-    # ---- ROUND-8 WINDOW (50): every r03-green entry (35, age 5) plus the
-    #      15 alphabetically-first r04-green entries (age 4). These are 50
-    #      of the 82 rotation-debt offenders the round-7 verdict listed.
-    "cohort_retention_weekly", "cross_source_overlap",
-    "decontam_ngram_overlap", "dedup_fingerprint_survivors",
-    "embedding_dim_stats", "embedding_gram_upper", "embedding_norm_histogram",
-    "embedding_outlier_flags", "embedding_pca_project",
-    "embedding_quantize_int8", "event_funnel_steps", "events_anomaly_days",
-    "events_pivot_daily", "events_resample_hourly_gapfill", "knn_label_vote",
-    "multimodal_feature_extract", "multimodal_frame_sample",
-    "multimodal_resize_grid", "pii_flag_docs", "quality_repetition_rules",
-    "quality_token_freq_score", "sample_weighted_mix", "seq_length_histogram",
-    "split_assign_hash", "stats_histogram_equiwidth",
-    "stats_join_size_cm_sketch", "stats_join_size_exact",
-    "stats_key_skew_profile", "stats_length_percentiles",
-    "stream_conversion_attribution", "tfidf_top_terms_per_source",
-    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
-    "union_distinct_keys", "window_running_total", "ann_ivf_pq_topk",
-    "broadcast_join_count", "case_when_bucket_agg",
-    "cluster_centroid_vectors", "count_min_multi_agg", "cube_agg",
-    "date_trunc_monthly", "datetime_parts_agg",
-    "decontam_substring_containment", "dedup_embedding_clusters",
-    "dedup_minhash_clusters", "distinct_count", "docrank_neardup_pagerank",
-    "embedding_lang_centroids", "events_first_touch",
-    # -------------- driver window boundary (50) --------------
-    # ---- COMMITTED ROUND-9 WINDOW (50): the remaining 32 r04-green
-    #      entries (age 5 by then) + the 18 alphabetically-first r05-green
-    #      entries (age 4 by then). Mirrored in tests/test_driver_rotation.py
-    #      PLANNED_LEFTOVERS[8]; move this block to the front at round 9.
+    # ---- ROUND-9 WINDOW (50): the remaining 32 r04-green entries (age 5)
+    #      + the 18 alphabetically-first r05-green entries (age 4). This is
+    #      the block committed at round 8 (PLANNED_LEFTOVERS[8] + 18),
+    #      moved to the front exactly as planned.
     "events_unpivot_daily", "graph_triangle_count", "groupby_having",
     "grouping_sets_agg", "intersect_except_keys", "latest_order_per_customer",
     "min_projection_job_style", "pred_between", "pred_epoch_int",
@@ -94,6 +74,7 @@ _DRIVER_ORDER = [
     "incremental_agg_maintenance", "join_bloom_prefilter_count",
     "order_gap_stats_per_customer", "orders_rfm_segments",
     "orders_yoy_monthly_growth",
+    # -------------- driver window boundary (50) --------------
     # ---- COMMITTED ROUND-10 BLOCK (30): remaining r05-green entries —
     #      age 5 at round-10 assembly; PLANNED_LEFTOVERS[9]. 20 spare round-10
     #      slots go to the stalest r07 tail entries below (due at r11).
@@ -132,6 +113,29 @@ _DRIVER_ORDER = [
     "projection_join", "hash_join_count", "merge_join_count",
     "nested_loop_theta_count", "self_join_count", "pred_or",
     "semi_join_exists", "anti_join_not_exists",
+    # ---- ROUND-8 WINDOW (50, freshest — r8-green, due again at r12):
+    #      rotated to the tail after CORRECTNESS_r08.json landed green.
+    "cohort_retention_weekly", "cross_source_overlap",
+    "decontam_ngram_overlap", "dedup_fingerprint_survivors",
+    "embedding_dim_stats", "embedding_gram_upper", "embedding_norm_histogram",
+    "embedding_outlier_flags", "embedding_pca_project",
+    "embedding_quantize_int8", "event_funnel_steps", "events_anomaly_days",
+    "events_pivot_daily", "events_resample_hourly_gapfill", "knn_label_vote",
+    "multimodal_feature_extract", "multimodal_frame_sample",
+    "multimodal_resize_grid", "pii_flag_docs", "quality_repetition_rules",
+    "quality_token_freq_score", "sample_weighted_mix", "seq_length_histogram",
+    "split_assign_hash", "stats_histogram_equiwidth",
+    "stats_join_size_cm_sketch", "stats_join_size_exact",
+    "stats_key_skew_profile", "stats_length_percentiles",
+    "stream_conversion_attribution", "tfidf_top_terms_per_source",
+    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
+    "union_distinct_keys", "window_running_total", "ann_ivf_pq_topk",
+    "broadcast_join_count", "case_when_bucket_agg",
+    "cluster_centroid_vectors", "count_min_multi_agg", "cube_agg",
+    "date_trunc_monthly", "datetime_parts_agg",
+    "decontam_substring_containment", "dedup_embedding_clusters",
+    "dedup_minhash_clusters", "distinct_count", "docrank_neardup_pagerank",
+    "embedding_lang_centroids", "events_first_touch",
 ]
 
 
