@@ -297,6 +297,60 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding (the scale path)
 # ---------------------------------------------------------------------------
 
+def _shingle_collapse(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse documents with identical shingle sets to one
+    representative, keyed by a 128-bit content fingerprint.
+
+    Input: ``(doc_id, text)``. Returns ``(memb, reps)`` where ``memb`` is
+    ``(doc_id, rep, grp_n)`` (every doc tagged with its group's min
+    doc_id and size) and ``reps`` is ``(rep, s, sig)`` (one row per
+    DISTINCT shingle set, carrying the sorted shingle array and its
+    MinHash signature) — both persisted, plan-keyed.
+
+    Scale shape (round-8 verdict item #2): the collapse is a ``groupBy``
+    on two seeded ``xxhash64`` longs over the sorted shingle array — the
+    same 128-bit fingerprint pattern ``dedup_fingerprint_survivors``
+    uses — NOT a window partitioned by the raw ``array<long>``. That
+    keeps the shuffle key 16 bytes, enables map-side partial aggregation
+    (one row per distinct set per map partition reaches the wire), and
+    needs no within-partition sort. ``min_by(s, doc_id)`` carries each
+    distinct set's array to exactly one reduce-side row; the membership
+    rejoin ships ids + fingerprints only, never arrays. A 128-bit
+    collision (which would merge two distinct sets) is negligible at any
+    realistic corpus size — identical odds to the fingerprint-dedup
+    lane the curation pipeline already relies on."""
+    from pyspark import StorageLevel
+
+    docs = (d.select("doc_id", F.array_sort(tt.shingle_hashes(
+                F.col("text"), n=MINHASH_SHINGLE_N)).alias("s"))
+            .withColumn("fp1", F.xxhash64(F.lit(0x5159), F.col("s")))
+            .withColumn("fp2", F.xxhash64(F.lit(0xA27E), F.col("s")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    # one row per distinct shingle set; signatures computed once per set
+    # (also skips the OPH work the old per-doc path repeated per dup)
+    groups = (docs.groupBy("fp1", "fp2")
+              .agg(F.min("doc_id").alias("rep"),
+                   F.count(F.lit(1)).alias("grp_n"),
+                   F.min_by("s", "doc_id").alias("s"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    # membership rejoin on the 16-byte fingerprint: ids only, no arrays —
+    # and only MULTI-member groups join (a singleton is its own rep, the
+    # overwhelmingly common case, recovered by coalesce). The right side
+    # is bounded by the number of duplicated sets, so AQE turns this into
+    # a broadcast join on all but pathologically dup-heavy corpora.
+    memb = (docs.select("doc_id", "fp1", "fp2")
+            .join(groups.filter(F.col("grp_n") > 1)
+                  .select("fp1", "fp2", "rep", "grp_n"),
+                  ["fp1", "fp2"], "left")
+            .select("doc_id",
+                    F.coalesce("rep", "doc_id").alias("rep"),
+                    F.coalesce("grp_n", F.lit(1)).alias("grp_n")))
+    reps = (groups.select("rep", "s")
+            .withColumn("sig", tt.minhash_signature_oph(F.col("s")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return memb, reps
+
+
 @register("dedup_minhash_lsh",
           oracle=_jaccard_oracle("TRUE", JACCARD_THRESHOLD, n=MINHASH_SHINGLE_N))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,47 +366,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEGA-BUCKET HARDENING (round-7 verdict #6; SCALE.md sf1 rehearsal):
     degenerate documents (empty/boilerplate) all share one shingle set,
     hence one signature, hence every band bucket — standalone, the bucket
-    self-join was quadratic in that group's size. The operator now
-    collapses identical (sorted) shingle sets FIRST: one representative
-    per distinct set enters banding, so a million identical docs
-    contribute ONE row to every bucket. Output-preserving by
-    construction: the signature is a pure function of the shingle set, so
-    (a) within-group pairs have exact Jaccard 1.0 >= t and are emitted
-    directly (the true output for identical docs — no candidate or
-    verify work), and (b) a cross-group member pair was a candidate iff
-    its representative pair is, with an identical verified Jaccard,
-    so representative pairs expand to member pairs losslessly. The
-    pipeline ordering defense (fingerprint-dedup first, run_curation.py)
-    is now an optimization, not a correctness crutch."""
-    from pyspark import StorageLevel
+    self-join was quadratic in that group's size. The operator therefore
+    collapses identical shingle sets FIRST (see
+    :func:`_shingle_collapse`): one representative per distinct set
+    enters banding, so a million identical docs contribute ONE row to
+    every bucket. Output-preserving by construction: the signature is a
+    pure function of the shingle set, so (a) within-group pairs have
+    exact Jaccard 1.0 >= t and are emitted directly (the true output for
+    identical docs — no candidate or verify work), and (b) a cross-group
+    member pair was a candidate iff its representative pair is, with an
+    identical verified Jaccard, so representative pairs expand to member
+    pairs losslessly. The pipeline ordering defense (fingerprint-dedup
+    first, run_curation.py) is an optimization, not a correctness crutch.
 
+    Round-9 (round-8 verdict item #2): the collapse itself now shuffles a
+    128-bit fingerprint instead of window-partitioning by the raw shingle
+    array — see :func:`_shingle_collapse` for the cost argument."""
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
-    # tag every doc with its distinct-set representative (min doc_id over
-    # the sorted shingle set) and the group size — one window shuffle.
-    # Persisted: membership feeds the within-group lane + both expansion
-    # sides, and the reps projection feeds banding + both verify sides.
-    # At 100 TB this persist becomes "write the membership/signature
-    # tables once, join against them" — same dataflow, storage-backed.
-    w = Window.partitionBy("s")
-    tagged = (d.select("doc_id", F.array_sort(tt.shingle_hashes(
-                  F.col("text"), n=MINHASH_SHINGLE_N)).alias("s"))
-              .withColumn("rep", F.min("doc_id").over(w))
-              .withColumn("grp_n", F.count(F.lit(1)).over(w))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    memb = tagged.select("doc_id", "rep")
-    # signatures computed once per DISTINCT shingle set (also skips the
-    # OPH work the old per-doc path repeated on every duplicate)
-    reps = (tagged.filter(F.col("doc_id") == F.col("rep"))
-            .select("rep", "s")
-            .withColumn("sig", tt.minhash_signature_oph(F.col("s")))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _minhash_pairs_from_docs(d)
+
+
+def _minhash_pairs_from_docs(d: DataFrame) -> DataFrame:
+    """LSH near-dup pair pipeline over an arbitrary ``(doc_id, text)``
+    frame (factored out so tests can plant degenerate corpora — e.g. the
+    mega-bucket fixture — without writing parquet)."""
+    memb, reps = _shingle_collapse(d)
 
     # lane 1: identical shingle sets — exact Jaccard 1.0, no LSH needed.
     # Only multi-member groups join (singletons — almost all docs — are
     # pre-filtered); the join output is the true all-pairs answer for
     # identical docs, so its size is output-bound, and AQE's skew-join
     # splits a pathological group's partitions at runtime.
-    multi = tagged.filter(F.col("grp_n") > 1).select("doc_id", "rep")
+    multi = memb.filter(F.col("grp_n") > 1).select("doc_id", "rep")
     ma = multi.select(F.col("rep").alias("r"), F.col("doc_id").alias("doc_a"))
     mb = multi.select(F.col("rep").alias("r"), F.col("doc_id").alias("doc_b"))
     within = (ma.join(mb, "r")
