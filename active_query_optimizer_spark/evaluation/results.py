@@ -56,8 +56,9 @@ def _revive_spark(spark: SparkSession, app: str = "aqo-results-revived",
     This necessarily reaches into private PySpark internals
     (``SparkContext._gateway/_jvm/_active_spark_context``,
     ``SparkSession._instantiatedSession/_activeSession``) — pinned to the
-    PySpark 4.x layout by ``tests/test_results_pipeline.py``'s internals
-    assertion, so an upgrade that moves them fails loudly in CI instead
+    PySpark 4.x layout by ``tests/test_labelcache.py::
+    test_revive_spark_internals_still_exist``,
+    so an upgrade that moves them fails loudly in CI instead
     of handing back a handle to a dead JVM. Every handle is cleared
     best-effort even when ``stop()`` raises (round-6 advice: relying on
     ``stop()`` to clear them leaves getOrCreate pointing at the dead
@@ -113,7 +114,7 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
     generator over-samples 2x to cover the loss).
 
     With ``cache_dir`` set, bundles come from the label cache when their
-    (sql, strategies, timeout, sf_dir, code-fingerprint) key is present
+    (sql, strategies, timeout, sf_dir, code+data-fingerprint) key is present
     (``plans/labelcache`` — the deliberate measurement-protocol decision:
     a grown workload mixes measurement sessions). Returns
     ``(bundles, (hits, lookups), spark)`` — lookups counts every labeled
@@ -134,14 +135,16 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
               file=sys.stderr, flush=True)
         try:
             if cache_dir is not None:
-                from ..plans.labelcache import bundle_key, cached_label_query
+                from ..plans.labelcache import cached_label_query
 
-                key = bundle_key(r["sql"], strategies, timeout_s, sf_dir)
                 lookups += 1
-                hits += os.path.exists(
-                    os.path.join(cache_dir, f"{key}.json.gz"))
-                cands = cached_label_query(spark, r["sql"], strategies,
-                                           timeout_s, sf_dir, cache_dir)
+                # hit accounting comes from the cache itself (round-8
+                # advice: an under-budget poison marker that relabels
+                # live must count as a miss, not a hit)
+                cands, was_hit = cached_label_query(
+                    spark, r["sql"], strategies, timeout_s, sf_dir,
+                    cache_dir)
+                hits += was_hit
             else:
                 cands = label_query(spark, r["sql"], strategies, timeout_s)
         except ZombieExecutionError as e:
@@ -158,8 +161,9 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
             spark = _revive_spark(spark)
             register_views(spark, sf_dir)
             if cache_dir is not None:
-                from ..plans.labelcache import record_poisoned
+                from ..plans.labelcache import bundle_key, record_poisoned
 
+                key = bundle_key(r["sql"], strategies, timeout_s, sf_dir)
                 n = record_poisoned(cache_dir, key, error=str(e))
                 print(f"WARNING: q{r['id']} poison attempts: {n}",
                       file=sys.stderr)

@@ -16,11 +16,15 @@ against — round-6 advice: a catalog change must not reuse stale labels).
 Any edit to those files invalidates every cached label, so a stale label
 can never survive an operator/labeling change; a workload-generator
 change shows up in the SQL text itself. ``sf_dir`` is additionally keyed
-by a DATA fingerprint (relative name + size + mtime of every parquet
-file under it), so regenerated data at the same path relabels rather
-than silently reusing labels measured against different rows. The
-deliberate tradeoff: a byte-identical regeneration also relabels (mtime
-moves) — conservative, never stale.
+by a DATA fingerprint (relative name + size + a head/tail content sample
+of every parquet file under it), so regenerated data at the same path
+relabels rather than silently reusing labels measured against different
+rows. Deliberately mtime-free (round-8 advice): a fresh checkout or a
+byte-identical regeneration keeps the committed cache valid — the
+content sample (first+last 64 KiB, which covers the parquet footer
+statistics any real regeneration perturbs) plus size is what detects
+changed data. Both fingerprints are memoized per process; mid-run data
+regeneration is out of contract (tests use ``cache_clear()``).
 
 A ``ZombieExecutionError`` during labeling is recorded as a POISONED
 marker (``{"poisoned": true, "attempts": n, "error": ...}``), not an
@@ -49,6 +53,7 @@ only (cost pretraining labels its own corpus separately).
 
 from __future__ import annotations
 
+import functools
 import gzip
 import hashlib
 import json
@@ -71,8 +76,18 @@ _FINGERPRINT_FILES = ("plans/explore.py", "plans/featurize.py", "session.py",
 MAX_POISON_ATTEMPTS = 2
 
 
+#: head/tail bytes sampled per parquet file for the data fingerprint —
+#: the tail covers the parquet footer (row counts, column statistics,
+#: encodings), which any real data regeneration perturbs
+_SAMPLE_BYTES = 65536
+
+
+@functools.lru_cache(maxsize=1)
 def code_fingerprint() -> str:
-    """Hash of the labeling-relevant source files (see module docstring)."""
+    """Hash of the labeling-relevant source files (see module docstring).
+    Memoized: source files cannot change mid-run by design (round-8
+    advice — ``bundle_key`` is called per query and re-reading four files
+    each time was pure overhead)."""
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha256()
     for rel in _FINGERPRINT_FILES:
@@ -82,10 +97,15 @@ def code_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+@functools.lru_cache(maxsize=None)
 def data_fingerprint(sf_dir: str) -> str:
-    """Hash of (relative path, size, mtime_ns) for every parquet file under
-    ``sf_dir``, recursively (partitioned tables are directories). Any data
-    regeneration at the same path changes this and relabels."""
+    """Hash of (relative path, size, head+tail content sample) for every
+    parquet file under ``sf_dir``, recursively (partitioned tables are
+    directories). Any data regeneration at the same path changes this
+    and relabels; deliberately mtime-free so a committed cache survives
+    fresh checkouts and byte-identical regenerations (round-8 advice).
+    Memoized per (normalized) path: the dataset cannot change mid-run by
+    design — tests that rewrite fixture data call ``cache_clear()``."""
     root = os.path.normpath(sf_dir)
     entries = []
     for dirpath, _dirs, files in os.walk(root):
@@ -93,8 +113,14 @@ def data_fingerprint(sf_dir: str) -> str:
             if f.endswith(".parquet"):
                 full = os.path.join(dirpath, f)
                 st = os.stat(full)
+                ch = hashlib.sha256()
+                with open(full, "rb") as fh:
+                    ch.update(fh.read(_SAMPLE_BYTES))
+                    if st.st_size > 2 * _SAMPLE_BYTES:
+                        fh.seek(-_SAMPLE_BYTES, os.SEEK_END)
+                    ch.update(fh.read(_SAMPLE_BYTES))
                 entries.append((os.path.relpath(full, root),
-                                st.st_size, st.st_mtime_ns))
+                                st.st_size, ch.hexdigest()[:16]))
     entries.sort()
     h = hashlib.sha256(json.dumps(entries).encode())
     return h.hexdigest()[:16]
@@ -186,25 +212,31 @@ def read_bundle(cache_dir: str, key: str):
 def cached_label_query(spark: "SparkSession", sql: str,
                        strategies: tuple[str, ...],
                        timeout_s: float | None, sf_dir: str,
-                       cache_dir: str) -> list[Candidate]:
+                       cache_dir: str) -> tuple[list[Candidate], bool]:
     """``label_query`` with a read-through, write-behind bundle cache.
     Hits rebuild the Candidate list from the stored bundle without
     touching the cluster; misses label live and persist the result. A
     poison marker under its retry budget is treated as a miss (the query
     relabels live — the caller records a new marker if it zombies again);
     an exhausted marker returns ``[]``, the same skip semantics as a
-    plan-collapse bundle."""
+    plan-collapse bundle.
+
+    Returns ``(candidates, hit)``. ``hit`` is True only when the result
+    came from the cache — a stored candidate list or an EXHAUSTED poison
+    marker; an under-budget marker that relabels live is a miss (round-8
+    advice: counting any existing file as a hit let RESULTS.md overstate
+    'N bundles from the committed label cache')."""
     key = bundle_key(sql, strategies, timeout_s, sf_dir)
     raw = read_bundle(cache_dir, key)
     if isinstance(raw, list):
-        return _decode(raw)
+        return _decode(raw), True
     if isinstance(raw, dict) and raw.get("poisoned"):
         if int(raw.get("attempts", 1)) >= MAX_POISON_ATTEMPTS:
-            return []
+            return [], True
         # under budget: fall through and retry live
     cands = label_query(spark, sql, strategies, timeout_s)
     write_bundle(cache_dir, key, cands)
-    return cands
+    return cands, False
 
 
 __all__ = ["cached_label_query", "write_bundle", "read_bundle",

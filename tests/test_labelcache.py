@@ -65,7 +65,10 @@ def test_catalog_is_fingerprinted():
 
 def test_bundle_key_sensitive_to_data_regeneration(tmp_path):
     """Regenerated parquet at the SAME path must re-key (round-6 advice:
-    the key was path-only, so new data silently reused old labels)."""
+    the key was path-only, so new data silently reused old labels).
+    data_fingerprint is memoized per process (round-8 advice), so this
+    test clears the memo after each rewrite — mid-run regeneration is
+    out of contract for the real pipeline."""
     sf = tmp_path / "sf"
     sf.mkdir()
     f = sf / "orders.parquet"
@@ -73,15 +76,48 @@ def test_bundle_key_sensitive_to_data_regeneration(tmp_path):
     base = LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf))
     assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) == base
     f.write_bytes(b"v2-bytes-longer")  # size change
+    LC.data_fingerprint.cache_clear()
     assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) != base
-    # partitioned-table layout: a new file in a subdirectory re-keys too
+    # same size, different content: the head/tail sample must re-key
+    f.write_bytes(b"v3-bytes-longer")
+    LC.data_fingerprint.cache_clear()
+    assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) != base
+    # mtime-free (round-8 advice): a touch alone must NOT re-key — the
+    # committed cache stays valid across checkouts/byte-identical regen
     f.write_bytes(b"v1-bytes")
-    os.utime(f, ns=(1, 1))
+    LC.data_fingerprint.cache_clear()
     pinned = LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf))
+    assert pinned == base
+    os.utime(f, ns=(1, 1))
+    LC.data_fingerprint.cache_clear()
+    assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) == pinned
+    # partitioned-table layout: a new file in a subdirectory re-keys too
     part = sf / "events.parquet" / "day=1"
     part.mkdir(parents=True)
     (part / "part-0.parquet").write_bytes(b"x")
+    LC.data_fingerprint.cache_clear()
     assert LC.bundle_key("SELECT 1", ("A",), 30.0, str(sf)) != pinned
+
+
+def test_data_fingerprint_samples_file_tail(tmp_path):
+    """A change past the head sample (e.g. only the parquet footer
+    statistics differ) must still re-key."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    big = b"\x00" * (3 * LC._SAMPLE_BYTES)
+    f = sf / "lineitem.parquet"
+    f.write_bytes(big)
+    LC.data_fingerprint.cache_clear()
+    base = LC.data_fingerprint(str(sf))
+    f.write_bytes(big[:-4] + b"diff")  # same size, tail-only change
+    LC.data_fingerprint.cache_clear()
+    assert LC.data_fingerprint(str(sf)) != base
+    # memoization: without cache_clear a further rewrite is invisible —
+    # that IS the contract (per-process memo; data can't change mid-run)
+    memo = LC.data_fingerprint(str(sf))
+    f.write_bytes(big)
+    assert LC.data_fingerprint(str(sf)) == memo
+    LC.data_fingerprint.cache_clear()
 
 
 def test_poisoned_marker_retries_then_expires(tmp_path, monkeypatch):
@@ -100,9 +136,11 @@ def test_poisoned_marker_retries_then_expires(tmp_path, monkeypatch):
         LC, "label_query",
         lambda spark, sql, strategies, timeout_s: calls.append(sql) or
         [_cand()])
-    out = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
-                                "/data/sf0.1", cache)
+    out, hit = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
+                                     "/data/sf0.1", cache)
     assert calls == ["SELECT 1"] and len(out) == 1
+    assert hit is False  # round-8 advice: an under-budget marker that
+    # relabels live is a MISS for hit accounting
     # ...and a successful retry REPLACES the marker with a real bundle
     assert isinstance(LC.read_bundle(cache, key), list)
 
@@ -110,9 +148,10 @@ def test_poisoned_marker_retries_then_expires(tmp_path, monkeypatch):
     for _ in range(LC.MAX_POISON_ATTEMPTS):
         LC.record_poisoned(cache, key, error="zombie again")
     calls.clear()
-    out = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
-                                "/data/sf0.1", cache)
+    out, hit = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
+                                     "/data/sf0.1", cache)
     assert out == [] and calls == []
+    assert hit is True  # exhausted marker = cached outcome
 
 
 def test_legacy_empty_bundle_reads_as_one_spent_attempt(tmp_path):
@@ -160,6 +199,7 @@ def test_hit_path_never_touches_the_cluster(tmp_path):
     key = LC.bundle_key("SELECT 1", ("A",), 30.0, "/data/sf0.1")
     with gzip.open(os.path.join(cache, f"{key}.json.gz"), "wt") as fh:
         json.dump(LC._encode([_cand()]), fh)
-    out = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
-                                "/data/sf0.1", cache)
+    out, hit = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
+                                     "/data/sf0.1", cache)
     assert len(out) == 1 and out[0].exec_time_ms == 123.5
+    assert hit is True
