@@ -261,11 +261,37 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             t = ev["totals"]
             gap = (round(100.0 * (t["chosen"] - t["best"]) / t["best"], 2)
                    if t["best"] > 0 else None)
+            # regret attribution (round-8 verdict item #5): the oracle-gap
+            # PERCENTAGE is a heavy-tailed statistic over a small
+            # denominator — name the query that dominates it and whether
+            # any pick landed on a timeout-penalty label, so an outlier
+            # fold is explained in the artifact instead of unexplained
+            from ..plans.explore import LABEL_TIMEOUT_PENALTY
+
+            regrets = []
+            timeout_ms = LABEL_TIMEOUT_PENALTY * LABEL_TIMEOUT_S * 1000.0
+            for qid, cands in f_test:
+                times = [float(c.exec_time_ms) for c in cands]
+                ci = ev["picked"][qid]
+                regrets.append((times[ci] - min(times), qid, times[ci],
+                                cands[ci].variant, min(times)))
+            total_regret = sum(r[0] for r in regrets) or 1.0
+            worst = max(regrets)
+            n_timeout_picks = sum(1 for r in regrets if r[2] >= timeout_ms)
             fold_rows.append({
                 "fold": j, "n_test": len(f_test),
                 "ranking_loss": round(ev["loss"], 4),
                 "ranking_loss_weighted": round(ev["wloss"], 4),
                 "totals_sec": t, "oracle_gap_pct": gap,
+                "regret_sec": round(total_regret / 1e3, 4),
+                "timeout_label_picks": n_timeout_picks,
+                "top_regret": {
+                    "qid": worst[1],
+                    "chosen_ms": round(worst[2], 1),
+                    "chosen_variant": worst[3],
+                    "best_ms": round(worst[4], 1),
+                    "share_pct": round(100.0 * worst[0] / total_regret, 1),
+                },
             })
         losses = [f["ranking_loss"] for f in fold_rows]
         gaps = [f["oracle_gap_pct"] for f in fold_rows
@@ -410,13 +436,19 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
             f"## Cross-split error bar (k={cs['k']} rotated held-out "
             "blocks, same labels)",
             "",
-            "| fold | held-out | ranking loss | oracle gap % |",
-            "|---|---|---|---|",
+            "| fold | held-out | ranking loss | oracle gap % | "
+            "regret sec | timeout-label picks | top regret contributor |",
+            "|---|---|---|---|---|---|---|",
         ]
         for f in cs["folds"]:
+            tr = f.get("top_regret")
+            tr_txt = (f"{tr['qid']}: chosen {tr['chosen_ms']}ms "
+                      f"({tr['chosen_variant']}) vs best {tr['best_ms']}ms "
+                      f"= {tr['share_pct']}% of fold regret" if tr else "-")
             lines.append(
                 f"| {f['fold']} | {f['n_test']} | {f['ranking_loss']} | "
-                f"{f['oracle_gap_pct']} |")
+                f"{f['oracle_gap_pct']} | {f.get('regret_sec', '-')} | "
+                f"{f.get('timeout_label_picks', '-')} | {tr_txt} |")
         lines += [
             "",
             f"Loss mean **{cs['loss_mean']}** ± spread "
@@ -424,7 +456,14 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
             f"**{cs['oracle_gap_mean_pct']}%** ± spread "
             f"{cs['oracle_gap_spread_pct']}%. The single-split headline "
             "above is one draw from this distribution — trajectory claims "
-            "across rounds should cite the spread, not the draw.",
+            "across rounds should cite the spread, not the draw. The "
+            "oracle-gap PERCENTAGE is heavy-tailed: a fold whose held-out "
+            "block has a small oracle-best total can show a large gap from "
+            "a single imperfect pick on one expensive query — the regret "
+            "attribution column names that query, and 'timeout-label "
+            "picks' counts choices that landed on a timeout-penalty label "
+            "(0 everywhere means the gap is NOT timeout saturation and "
+            "needs no label censoring).",
             "",
         ]
     lines += [
