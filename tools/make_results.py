@@ -33,7 +33,10 @@ def main() -> None:
     res = optimizer_results(spark, sf_dir, num_queries=num_queries,
                             epochs=epochs, cache_dir=cache_dir,
                             cross_folds=folds)
-    out = os.path.join(repo, "RESULTS.md")
+    # SPARK_GRAFT_RESULTS_OUT lets a scale rehearsal (e.g. the sf1 run)
+    # write its own artifact instead of clobbering the headline RESULTS.md
+    out = os.environ.get("SPARK_GRAFT_RESULTS_OUT",
+                         os.path.join(repo, "RESULTS.md"))
     write_results_md(res, out)
     print(f"wrote {out}: totals={res['totals_sec']} "
           f"loss={res['ranking_loss']} cache={res['label_cache']} "
