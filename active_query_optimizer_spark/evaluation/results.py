@@ -214,7 +214,9 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                       epochs: int = 30, seed: int = 7,
                       deployment_batches: int = 5,
                       cache_dir: str | None = None,
-                      cross_folds: int = 0) -> dict[str, Any]:
+                      cross_folds: int = 0,
+                      label_timeout_s: float = LABEL_TIMEOUT_S,
+                      ) -> dict[str, Any]:
     """Label a generated workload, train on the front ``train_frac`` in
     generation order (the drift framing: the past trains, the future
     evaluates), and report held-out chosen-vs-default latencies, the
@@ -230,7 +232,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     from ..pipelines.dynamic import run_deployment
 
     bundles, (cache_hits, cache_lookups), spark = label_generated_workload(
-        spark, sf_dir, num_queries, seed, cache_dir=cache_dir)
+        spark, sf_dir, num_queries, seed, cache_dir=cache_dir,
+        timeout_s=label_timeout_s)
     if len(bundles) < 3:
         raise ValueError(f"only {len(bundles)} rankable bundles generated")
     n_train = max(1, int(len(bundles) * train_frac))
@@ -269,7 +272,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             from ..plans.explore import LABEL_TIMEOUT_PENALTY
 
             regrets = []
-            timeout_ms = LABEL_TIMEOUT_PENALTY * LABEL_TIMEOUT_S * 1000.0
+            timeout_ms = LABEL_TIMEOUT_PENALTY * label_timeout_s * 1000.0
             for qid, cands in f_test:
                 times = [float(c.exec_time_ms) for c in cands]
                 ci = ev["picked"][qid]

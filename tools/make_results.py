@@ -28,11 +28,19 @@ def main() -> None:
     cache_dir = (None if os.environ.get("SPARK_GRAFT_NO_LABEL_CACHE")
                  else os.path.join(repo, ".label_cache"))
     folds = int(os.environ.get("SPARK_GRAFT_CROSS_FOLDS", "3"))
+    # per-candidate labeling deadline: 30 s suits sf0.1; a 10x data
+    # rehearsal must scale it or every label saturates at the timeout
+    # penalty and the bundle carries no ranking signal (observed at sf1)
+    from active_query_optimizer_spark.evaluation.results import (
+        LABEL_TIMEOUT_S)
+    label_timeout = float(os.environ.get("SPARK_GRAFT_LABEL_TIMEOUT_S",
+                                         str(LABEL_TIMEOUT_S)))
     spark = get_spark("aqo-results")
     spark.sparkContext.setLogLevel("ERROR")
     res = optimizer_results(spark, sf_dir, num_queries=num_queries,
                             epochs=epochs, cache_dir=cache_dir,
-                            cross_folds=folds)
+                            cross_folds=folds,
+                            label_timeout_s=label_timeout)
     # SPARK_GRAFT_RESULTS_OUT lets a scale rehearsal (e.g. the sf1 run)
     # write its own artifact instead of clobbering the headline RESULTS.md
     out = os.environ.get("SPARK_GRAFT_RESULTS_OUT",
