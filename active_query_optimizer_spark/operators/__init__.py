@@ -31,53 +31,30 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). ROUND-9 layout
-#: (executes the rotation plan committed at round 8 — the three-window
-#: clearance of round-7's 82-query rotation debt):
-#: - round-9 window (NOW FIRST): the 32 r04-green leftovers (age 5) + the
-#:   18 alphabetically-first r05-green entries (age 4) — byte-for-byte the
-#:   block that round 8 committed as "move to the front at round 9";
-#: - committed round-10 block: remaining 30 r05 entries (+20 spare slots
-#:   for the stalest r07-tail entries, due at r11);
-#: - r07-green tail, then the round-8 window (freshest, r8-green) at the
-#:   very end.
-#: The plan is executable: tests/test_driver_rotation.py::PLANNED_LEFTOVERS
-#: allows exactly the round-10 block as leftovers at round-9 assembly and
-#: nothing at round 10+.
+#: Driver-facing registration order (see module docstring). ROUND-10 layout
+#: (executes the rotation plan committed at rounds 8/9 — final window of
+#: the three-window clearance of round-7's rotation debt):
+#: - round-10 window (NOW FIRST): the committed 30-entry round-10 block
+#:   (remaining r05-green entries, age 5 — byte-for-byte
+#:   PLANNED_LEFTOVERS[9]) + the 20 stalest r07-tail entries (age 3,
+#:   breaching at round 11) in the spare slots;
+#: - remaining 30 r07-tail entries: the round-11 window opens with these
+#:   (the linter will print exactly this set at round-11 assembly);
+#: - round-8 window (r8-green, due r12), then the round-9 window
+#:   (freshest, r9-green, due r13) at the very end.
+#: From round 10 on PLANNED_LEFTOVERS is empty: the debt plan is fully
+#: executed and the steady-state cadence (each window due again 4 rounds
+#: later) fits the 50-slot window with room to spare.
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
 #: sweep (``tools/driver_sim.py`` -> SWEEP_r*.json, sf0.01 + sf0.1)
 #: re-verifies the whole registry when operator source changes mid-round
 #: (see SWEEP_r*.json artifacts for the rounds where it ran).
 _DRIVER_ORDER = [
-    # ---- ROUND-9 WINDOW (50): the remaining 32 r04-green entries (age 5)
-    #      + the 18 alphabetically-first r05-green entries (age 4). This is
-    #      the block committed at round 8 (PLANNED_LEFTOVERS[8] + 18),
-    #      moved to the front exactly as planned.
-    "events_unpivot_daily", "graph_triangle_count", "groupby_having",
-    "grouping_sets_agg", "intersect_except_keys", "latest_order_per_customer",
-    "min_projection_job_style", "pred_between", "pred_epoch_int",
-    "pred_eq_neq", "pred_in", "pred_like", "pred_not_like",
-    "pred_null_checks", "pred_range_ops", "pred_ts_literal",
-    "scalar_subquery_small_qty", "stats_column_cardinalities_approx",
-    "stats_null_profile", "stats_price_deciles", "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
-    "tpch_q22_lapsed_high_balance", "tpch_q7_nation_volume",
-    "upsert_snapshot_apply", "window_rolling_7day_avg", "basket_brand_pairs",
-    "dedup_exact_docs", "dedup_paragraph_rewrite", "dedup_paragraph_spans",
-    "dq_constraint_report", "events_burst_users", "events_decay_weighted_sum",
-    "events_time_weighted_value", "events_trailing_7d_active_users",
-    "events_transition_matrix", "flagship_multijoin_count",
-    "full_outer_reconciliation", "graph_bfs_hops",
-    "incremental_agg_maintenance", "join_bloom_prefilter_count",
-    "order_gap_stats_per_customer", "orders_rfm_segments",
-    "orders_yoy_monthly_growth",
-    # -------------- driver window boundary (50) --------------
-    # ---- COMMITTED ROUND-10 BLOCK (30): remaining r05-green entries —
-    #      age 5 at round-10 assembly; PLANNED_LEFTOVERS[9]. 20 spare round-10
-    #      slots go to the stalest r07 tail entries below (due at r11).
+    # ---- ROUND-10 WINDOW (50): the committed round-10 block (the 30
+    #      remaining r05-green entries, age 5 — PLANNED_LEFTOVERS[9],
+    #      moved to the front exactly as committed at round 8/9) + the 20
+    #      first r07-tail entries (age 3, breaching at round 11).
     "pareto_front_orders", "pricing_summary", "props_extract_sum",
     "quality_length_percent_rank", "sample_balanced_per_lang",
     "sample_stratified_proportional", "sample_temperature_mixture",
@@ -91,8 +68,7 @@ _DRIVER_ORDER = [
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "window_dense_rank_ties", "zorder_layout_profile",
-    # ---- r07-green tail (50): refreshed by the byte-identical r06+r07
-    #      windows; due again across rounds 10-11.
+    #      ... the 20 spare slots (stalest r07-tail entries):
     "hypertable_rollup_daily", "text_bpe_token_count", "text_langid",
     "text_fingerprint", "text_lang_summary", "text_pattern_flags",
     "text_top_terms", "dedup_simhash_pairs", "dedup_simhash",
@@ -101,6 +77,11 @@ _DRIVER_ORDER = [
     "stats_topk_frequent_values", "stats_distinct_values",
     "stats_column_cardinalities", "plan_selection_argmin",
     "spearman_rank_corr", "stream_windowed_event_counts",
+    # -------------- driver window boundary (50) --------------
+    # ---- remaining r07-green tail (30): age 3 now; these are the
+    #      offenders the linter will print at round-11 assembly — the
+    #      round-11 window opens with exactly these 30 (+20 spare slots
+    #      from the r08 window below, due at r12).
     "transitive_equijoin_count", "skew_salted_join_count",
     "asof_join_events_orders", "range_join_value_bands",
     "outer_join_count_per_customer", "in_subquery_count",
@@ -113,8 +94,7 @@ _DRIVER_ORDER = [
     "projection_join", "hash_join_count", "merge_join_count",
     "nested_loop_theta_count", "self_join_count", "pred_or",
     "semi_join_exists", "anti_join_not_exists",
-    # ---- ROUND-8 WINDOW (50, freshest — r8-green, due again at r12):
-    #      rotated to the tail after CORRECTNESS_r08.json landed green.
+    # ---- ROUND-8 WINDOW (50, r8-green, due again at r12):
     "cohort_retention_weekly", "cross_source_overlap",
     "decontam_ngram_overlap", "dedup_fingerprint_survivors",
     "embedding_dim_stats", "embedding_gram_upper", "embedding_norm_histogram",
@@ -136,6 +116,29 @@ _DRIVER_ORDER = [
     "decontam_substring_containment", "dedup_embedding_clusters",
     "dedup_minhash_clusters", "distinct_count", "docrank_neardup_pagerank",
     "embedding_lang_centroids", "events_first_touch",
+    # ---- ROUND-9 WINDOW (50, freshest — r9-green, due again at r13):
+    #      rotated to the tail after CORRECTNESS_r09.json landed green
+    #      (49 exact-hash + 1 rows-only-by-design, 0 failures).
+    "events_unpivot_daily", "graph_triangle_count", "groupby_having",
+    "grouping_sets_agg", "intersect_except_keys", "latest_order_per_customer",
+    "min_projection_job_style", "pred_between", "pred_epoch_int",
+    "pred_eq_neq", "pred_in", "pred_like", "pred_not_like",
+    "pred_null_checks", "pred_range_ops", "pred_ts_literal",
+    "scalar_subquery_small_qty", "stats_column_cardinalities_approx",
+    "stats_null_profile", "stats_price_deciles", "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q22_lapsed_high_balance", "tpch_q7_nation_volume",
+    "upsert_snapshot_apply", "window_rolling_7day_avg", "basket_brand_pairs",
+    "dedup_exact_docs", "dedup_paragraph_rewrite", "dedup_paragraph_spans",
+    "dq_constraint_report", "events_burst_users", "events_decay_weighted_sum",
+    "events_time_weighted_value", "events_trailing_7d_active_users",
+    "events_transition_matrix", "flagship_multijoin_count",
+    "full_outer_reconciliation", "graph_bfs_hops",
+    "incremental_agg_maintenance", "join_bloom_prefilter_count",
+    "order_gap_stats_per_customer", "orders_rfm_segments",
+    "orders_yoy_monthly_growth",
 ]
 
 
