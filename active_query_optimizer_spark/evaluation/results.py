@@ -178,14 +178,17 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
 def _split_eval(spark: SparkSession,
                 train: list[tuple[str, list[Candidate]]],
                 test: list[tuple[str, list[Candidate]]],
-                epochs: int, seed: int) -> dict[str, Any]:
+                epochs: int, seed: int,
+                pretrain_epochs: int = 0,
+                pretrain_mode: str = "latency") -> dict[str, Any]:
     """Train on ``train``, score ``test``: returns the ranking losses,
     the argmin picks and the held-out second totals — one evaluation of
     one train/held-out split (the main split and every cross-validation
     fold go through this same path)."""
     model = train_pairwise_from_bundles(
         [(qid, [(c.plan, float(c.exec_time_ms)) for c in cands])
-         for qid, cands in train], epochs=epochs, seed=seed)
+         for qid, cands in train], epochs=epochs, seed=seed,
+        pretrain_epochs=pretrain_epochs, pretrain_mode=pretrain_mode)
     rows = [(qid, i, c.to_bundle_json(), float(c.exec_time_ms))
             for qid, cands in test for i, c in enumerate(cands)]
     df = spark.createDataFrame(
@@ -216,6 +219,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                       cache_dir: str | None = None,
                       cross_folds: int = 0,
                       label_timeout_s: float = LABEL_TIMEOUT_S,
+                      pretrain_epochs: int = 0,
+                      pretrain_mode: str = "latency",
                       ) -> dict[str, Any]:
     """Label a generated workload, train on the front ``train_frac`` in
     generation order (the drift framing: the past trains, the future
@@ -242,7 +247,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     print(f"labeling done: {len(bundles)} bundles "
           f"(cache {cache_hits}/{cache_lookups} hits); training main split",
           file=sys.stderr, flush=True)
-    main_eval = _split_eval(spark, train, test, epochs, seed)
+    main_eval = _split_eval(spark, train, test, epochs, seed,
+                            pretrain_epochs, pretrain_mode)
     loss, wloss = main_eval["loss"], main_eval["wloss"]
     picked = main_eval["picked"]
 
@@ -260,7 +266,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                 else len(bundles)
             f_test = bundles[lo:hi]
             f_train = bundles[:lo] + bundles[hi:]
-            ev = _split_eval(spark, f_train, f_test, epochs, seed)
+            ev = _split_eval(spark, f_train, f_test, epochs, seed,
+                             pretrain_epochs, pretrain_mode)
             t = ev["totals"]
             gap = (round(100.0 * (t["chosen"] - t["best"]) / t["best"], 2)
                    if t["best"] > 0 else None)
@@ -278,7 +285,10 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                 ci = ev["picked"][qid]
                 regrets.append((times[ci] - min(times), qid, times[ci],
                                 cands[ci].variant, min(times)))
-            total_regret = sum(r[0] for r in regrets) or 1.0
+            # true sum for the reported value; a zero-regret fold gets
+            # regret_sec 0.0 and top_regret null rather than a share_pct
+            # computed against a fabricated 1 ms denominator (r9 advice)
+            total_regret = sum(r[0] for r in regrets)
             worst = max(regrets)
             n_timeout_picks = sum(1 for r in regrets if r[2] >= timeout_ms)
             fold_rows.append({
@@ -288,7 +298,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                 "totals_sec": t, "oracle_gap_pct": gap,
                 "regret_sec": round(total_regret / 1e3, 4),
                 "timeout_label_picks": n_timeout_picks,
-                "top_regret": {
+                "top_regret": None if total_regret <= 0 else {
                     "qid": worst[1],
                     "chosen_ms": round(worst[2], 1),
                     "chosen_variant": worst[3],
@@ -372,6 +382,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         "n_test": len(test),
         "epochs": epochs,
         "seed": seed,
+        "pretrain": ({"epochs": pretrain_epochs, "mode": pretrain_mode}
+                     if pretrain_epochs else None),
         "label_cache": {"enabled": cache_dir is not None,
                         "hits": cache_hits,
                         "misses": cache_lookups - cache_hits},
@@ -407,7 +419,10 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
         f"- data: `{res['sf_dir']}`  |  labeled queries: "
         f"{res['n_labeled']} (train {res['n_train']} / held-out test "
         f"{res['n_test']}, generation order)  |  epochs: {res['epochs']}, "
-        f"seed: {res['seed']}",
+        f"seed: {res['seed']}"
+        + (f"  |  pointwise pretrain: {res['pretrain']['mode']} x "
+           f"{res['pretrain']['epochs']} epochs"
+           if res.get("pretrain") else ""),
         "",
         "## Held-out totals (seconds, sum over test queries)",
         "",

@@ -338,13 +338,18 @@ def _shingle_collapse(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     # overwhelmingly common case, recovered by coalesce). The right side
     # is bounded by the number of duplicated sets, so AQE turns this into
     # a broadcast join on all but pathologically dup-heavy corpora.
+    # persisted: memb is consumed three times downstream (the
+    # within-group lane plus both sides of the member-pair expansion) —
+    # without it each consumer re-runs this join from the persisted
+    # parents (round-9 advice; the docstring promised the persist)
     memb = (docs.select("doc_id", "fp1", "fp2")
             .join(groups.filter(F.col("grp_n") > 1)
                   .select("fp1", "fp2", "rep", "grp_n"),
                   ["fp1", "fp2"], "left")
             .select("doc_id",
                     F.coalesce("rep", "doc_id").alias("rep"),
-                    F.coalesce("grp_n", F.lit(1)).alias("grp_n")))
+                    F.coalesce("grp_n", F.lit(1)).alias("grp_n"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     reps = (groups.select("rep", "s")
             .withColumn("sig", tt.minhash_signature_oph(F.col("s")))
             .persist(StorageLevel.MEMORY_AND_DISK))

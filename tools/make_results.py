@@ -35,12 +35,19 @@ def main() -> None:
         LABEL_TIMEOUT_S)
     label_timeout = float(os.environ.get("SPARK_GRAFT_LABEL_TIMEOUT_S",
                                          str(LABEL_TIMEOUT_S)))
+    # pointwise pretrain as pairwise initialization (round-9 verdict
+    # item #6 — latency-magnitude signal for heavy-tailed workloads);
+    # 0 = off (the historical behavior)
+    pretrain_epochs = int(os.environ.get("SPARK_GRAFT_PRETRAIN_EPOCHS", "0"))
+    pretrain_mode = os.environ.get("SPARK_GRAFT_PRETRAIN_MODE", "latency")
     spark = get_spark("aqo-results")
     spark.sparkContext.setLogLevel("ERROR")
     res = optimizer_results(spark, sf_dir, num_queries=num_queries,
                             epochs=epochs, cache_dir=cache_dir,
                             cross_folds=folds,
-                            label_timeout_s=label_timeout)
+                            label_timeout_s=label_timeout,
+                            pretrain_epochs=pretrain_epochs,
+                            pretrain_mode=pretrain_mode)
     # SPARK_GRAFT_RESULTS_OUT lets a scale rehearsal (e.g. the sf1 run)
     # write its own artifact instead of clobbering the headline RESULTS.md
     out = os.environ.get("SPARK_GRAFT_RESULTS_OUT",

@@ -16,9 +16,26 @@ cannot be re-keyed (they store no SQL) and are dropped — their retry
 budget resets, which is the conservative direction. Old-key files are
 removed so the cache directory stays one-file-per-bundle.
 
-Usage: ``python tools/rekey_label_cache.py [--dry-run]``
-(env: SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1 — must be the
-directory the labels were measured against).
+The committed cache mixes bundles measured under DIFFERENT
+(sf_dir, timeout) configurations — sf0.1/30 s plus the sf1 rehearsal's
+30 s and 90 s runs — so a blanket re-key under one configuration would
+silently move labels onto keys claiming a different dataset/deadline
+(round-9 advice, medium). This tool therefore:
+
+* treats any file whose name already equals ``bundle_key`` under ANY
+  known configuration (``_KNOWN_CONFIGS`` + ``--known SF_DIR:TIMEOUT``)
+  as current and never touches it;
+* only moves ORPHANS (files matching no known configuration — i.e.
+  written under an older key schema), and only when
+  ``--orphans-from SF_DIR:TIMEOUT`` states their measurement provenance
+  explicitly; without that flag orphans are listed and left in place;
+* never overwrites an existing target file (a valid same-SQL bundle
+  under the new key wins over the orphan being moved).
+
+Usage::
+
+    python tools/rekey_label_cache.py [--dry-run] \
+        [--known SF_DIR:TIMEOUT ...] [--orphans-from SF_DIR:TIMEOUT]
 """
 
 from __future__ import annotations
@@ -57,17 +74,50 @@ def code_unchanged_since(cache_dir: str) -> bool:
     return diff == ""
 
 
+#: every (sf_dir, timeout) configuration labels have been measured under
+#: (git history: sf0.1 at the 30 s default; the sf1 rehearsal at 30 s and
+#: at the scale-calibrated 90 s). Extend via --known when a new
+#: configuration is introduced.
+_KNOWN_CONFIGS: list[tuple[str, float]] = [
+    ("/root/testdata/sf0.1", LABEL_TIMEOUT_S),
+    (os.path.join(REPO, "testdata_sf1"), LABEL_TIMEOUT_S),
+    (os.path.join(REPO, "testdata_sf1"), 90.0),
+]
+
+
+def _parse_config(arg: str) -> tuple[str, float]:
+    sf_dir, _, timeout = arg.rpartition(":")
+    if not sf_dir:
+        sys.exit(f"bad config {arg!r}: expected SF_DIR:TIMEOUT")
+    return os.path.normpath(sf_dir), float(timeout)
+
+
 def main() -> None:
     dry = "--dry-run" in sys.argv
     force = "--force-code-ok" in sys.argv
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_dir = os.path.join(REPO, ".label_cache")
+    configs = list(_KNOWN_CONFIGS)
+    orphans_from: tuple[str, float] | None = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--known":
+            configs.append(_parse_config(argv[i + 1]))
+        elif a == "--orphans-from":
+            orphans_from = _parse_config(argv[i + 1])
+            configs.append(orphans_from)
+    # data_fingerprint only works for directories that still exist (the
+    # sf1 rehearsal dir is gitignored and regenerable — if it was
+    # regenerated since the labels were measured, its bundles show up as
+    # orphans here, which is the safe direction: we refuse to move them)
+    configs = [(os.path.normpath(d), t) for d, t in configs
+               if os.path.isdir(d)]
     if not force and not code_unchanged_since(cache_dir):
         sys.exit("REFUSING: a fingerprinted labeling-source file changed "
                  "since the cache was committed — the stored labels were "
                  "measured under different code; relabel instead.")
 
     moved = skipped_current = dropped = 0
+    orphans: list[str] = []
     for path in sorted(glob.glob(os.path.join(cache_dir, "*.json.gz"))):
         old_key = os.path.basename(path)[: -len(".json.gz")]
         with gzip.open(path, "rt") as fh:
@@ -86,17 +136,35 @@ def main() -> None:
             if not dry:
                 os.remove(path)
             continue
-        new_key = LC.bundle_key(sql, HINT_STRATEGIES, LABEL_TIMEOUT_S,
-                                sf_dir)
-        if new_key == old_key:
+        # current under ANY known configuration => leave untouched
+        if any(LC.bundle_key(sql, HINT_STRATEGIES, t, d) == old_key
+               for d, t in configs):
             skipped_current += 1
+            continue
+        # orphan: pre-schema-change key. Provenance must be explicit.
+        if orphans_from is None:
+            orphans.append(old_key)
+            continue
+        d, t = orphans_from
+        new_key = LC.bundle_key(sql, HINT_STRATEGIES, t, d)
+        target = os.path.join(cache_dir, f"{new_key}.json.gz")
+        if os.path.exists(target):
+            print(f"skip (target exists, keeping current): {old_key}")
+            orphans.append(old_key)
             continue
         if not dry:
             LC._atomic_write(cache_dir, new_key, raw)
             os.remove(path)
         moved += 1
     print(f"re-keyed {moved}, already-current {skipped_current}, "
-          f"dropped {dropped}{' (dry run)' if dry else ''}")
+          f"dropped {dropped}, orphans-left {len(orphans)}"
+          f"{' (dry run)' if dry else ''}")
+    if orphans and orphans_from is None:
+        print("orphans (pass --orphans-from SF_DIR:TIMEOUT with their "
+              "measurement provenance to move them):")
+        for k in orphans:
+            print(f"  {k}")
+        sys.exit(2)
 
 
 if __name__ == "__main__":
