@@ -81,6 +81,14 @@ MAX_POISON_ATTEMPTS = 2
 #: encodings), which any real data regeneration perturbs
 _SAMPLE_BYTES = 65536
 
+#: interior sample points per file (round-9 advice: head+tail alone left
+#: mid-file data pages of a multi-row-group file outside the sample — a
+#: same-size regeneration differing only there reused stale labels).
+#: 4 KiB at each of 8 evenly-spaced interior offsets closes that blind
+#: spot at ~32 KiB extra read per file.
+_MID_SAMPLES = 8
+_MID_SAMPLE_BYTES = 4096
+
 
 @functools.lru_cache(maxsize=1)
 def code_fingerprint() -> str:
@@ -97,44 +105,83 @@ def code_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
-@functools.lru_cache(maxsize=None)
-def data_fingerprint(sf_dir: str) -> str:
-    """Hash of (relative path, size, head+tail content sample) for every
-    parquet file under ``sf_dir``, recursively (partitioned tables are
-    directories). Any data regeneration at the same path changes this
-    and relabels; deliberately mtime-free so a committed cache survives
-    fresh checkouts and byte-identical regenerations (round-8 advice).
-    Memoized per (normalized) path: the dataset cannot change mid-run by
-    design — tests that rewrite fixture data call ``cache_clear()``."""
-    root = os.path.normpath(sf_dir)
-    entries = []
+def _walk_parquet(root: str):
     for dirpath, _dirs, files in os.walk(root):
         for f in files:
             if f.endswith(".parquet"):
-                full = os.path.join(dirpath, f)
-                st = os.stat(full)
-                ch = hashlib.sha256()
-                with open(full, "rb") as fh:
-                    ch.update(fh.read(_SAMPLE_BYTES))
-                    if st.st_size > 2 * _SAMPLE_BYTES:
-                        fh.seek(-_SAMPLE_BYTES, os.SEEK_END)
-                    ch.update(fh.read(_SAMPLE_BYTES))
-                entries.append((os.path.relpath(full, root),
-                                st.st_size, ch.hexdigest()[:16]))
+                yield os.path.join(dirpath, f)
+
+
+def _fingerprint_entries(root: str, mid_samples: int) -> str:
+    entries = []
+    for full in _walk_parquet(root):
+        st = os.stat(full)
+        ch = hashlib.sha256()
+        with open(full, "rb") as fh:
+            ch.update(fh.read(_SAMPLE_BYTES))
+            if mid_samples and st.st_size > 2 * _SAMPLE_BYTES:
+                interior = st.st_size - 2 * _SAMPLE_BYTES
+                for k in range(mid_samples):
+                    off = _SAMPLE_BYTES + (interior * k) // mid_samples
+                    fh.seek(off)
+                    ch.update(fh.read(_MID_SAMPLE_BYTES))
+            if st.st_size > 2 * _SAMPLE_BYTES:
+                fh.seek(-_SAMPLE_BYTES, os.SEEK_END)
+            ch.update(fh.read(_SAMPLE_BYTES))
+        entries.append((os.path.relpath(full, root),
+                        st.st_size, ch.hexdigest()[:16]))
     entries.sort()
-    h = hashlib.sha256(json.dumps(entries).encode())
-    return h.hexdigest()[:16]
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
+
+
+@functools.lru_cache(maxsize=None)
+def data_fingerprint(sf_dir: str) -> str:
+    """Hash of (relative path, size, head + 8 evenly-spaced interior
+    samples + tail) for every parquet file under ``sf_dir``, recursively
+    (partitioned tables are directories). Any data regeneration at the
+    same path changes this and relabels; deliberately mtime-free so a
+    committed cache survives fresh checkouts and byte-identical
+    regenerations (round-8 advice). The interior samples close the
+    round-9 blind spot (a same-size regeneration differing only in
+    mid-file data pages). Memoized per (normalized) path: the dataset
+    cannot change mid-run by design — tests that rewrite fixture data
+    call ``cache_clear()``."""
+    return _fingerprint_entries(os.path.normpath(sf_dir), _MID_SAMPLES)
+
+
+@functools.lru_cache(maxsize=None)
+def data_fingerprint_legacy_v1(sf_dir: str) -> str:
+    """The pre-round-10 head+tail-only fingerprint. Kept ONLY so
+    ``tools/rekey_label_cache.py`` can establish the provenance of
+    bundles keyed under the old schema and migrate them to the current
+    key for the SAME (sf_dir, timeout) configuration. Never used for new
+    keys."""
+    return _fingerprint_entries(os.path.normpath(sf_dir), 0)
+
+
+def _key_from(sql: str, strategies: tuple[str, ...],
+              timeout_s: float | None, sf_dir: str, data_fp: str) -> str:
+    payload = json.dumps(
+        [sql, list(strategies), timeout_s, os.path.normpath(sf_dir),
+         code_fingerprint(), data_fp],
+        sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
 def bundle_key(sql: str, strategies: tuple[str, ...],
                timeout_s: float | None, sf_dir: str) -> str:
     """Content key for one labeled bundle (includes the code fingerprint
     and the data fingerprint of ``sf_dir``)."""
-    payload = json.dumps(
-        [sql, list(strategies), timeout_s, os.path.normpath(sf_dir),
-         code_fingerprint(), data_fingerprint(sf_dir)],
-        sort_keys=True)
-    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+    return _key_from(sql, strategies, timeout_s, sf_dir,
+                     data_fingerprint(sf_dir))
+
+
+def bundle_key_legacy_v1(sql: str, strategies: tuple[str, ...],
+                         timeout_s: float | None, sf_dir: str) -> str:
+    """The pre-round-10 key (head+tail-only data fingerprint) — see
+    :func:`data_fingerprint_legacy_v1`; migration use only."""
+    return _key_from(sql, strategies, timeout_s, sf_dir,
+                     data_fingerprint_legacy_v1(sf_dir))
 
 
 def _encode(cands: list[Candidate]) -> list[dict]:

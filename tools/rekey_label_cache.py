@@ -25,8 +25,12 @@ silently move labels onto keys claiming a different dataset/deadline
 * treats any file whose name already equals ``bundle_key`` under ANY
   known configuration (``_KNOWN_CONFIGS`` + ``--known SF_DIR:TIMEOUT``)
   as current and never touches it;
-* only moves ORPHANS (files matching no known configuration — i.e.
-  written under an older key schema), and only when
+* auto-migrates bundles keyed under a KNOWN legacy schema
+  (``bundle_key_legacy_v1`` — the pre-round-10 head+tail-only data
+  fingerprint): the legacy-key match itself establishes which
+  (sf_dir, timeout) the bundle was measured under, and the bundle moves
+  to the current key for that SAME configuration;
+* only moves other ORPHANS (files matching no known schema at all) when
   ``--orphans-from SF_DIR:TIMEOUT`` states their measurement provenance
   explicitly; without that flag orphans are listed and left in place;
 * never overwrites an existing target file (a valid same-SQL bundle
@@ -141,11 +145,18 @@ def main() -> None:
                for d, t in configs):
             skipped_current += 1
             continue
-        # orphan: pre-schema-change key. Provenance must be explicit.
-        if orphans_from is None:
+        # keyed under a KNOWN LEGACY schema for a known configuration:
+        # provenance is established by the key match itself — migrate to
+        # the current key under the SAME (sf_dir, timeout)
+        legacy_cfg = next(
+            ((d, t) for d, t in configs
+             if LC.bundle_key_legacy_v1(sql, HINT_STRATEGIES, t, d)
+             == old_key), None)
+        if legacy_cfg is None and orphans_from is None:
+            # unknown schema: provenance must be explicit
             orphans.append(old_key)
             continue
-        d, t = orphans_from
+        d, t = legacy_cfg if legacy_cfg is not None else orphans_from
         new_key = LC.bundle_key(sql, HINT_STRATEGIES, t, d)
         target = os.path.join(cache_dir, f"{new_key}.json.gz")
         if os.path.exists(target):
