@@ -36,9 +36,13 @@ def main() -> None:
     label_timeout = float(os.environ.get("SPARK_GRAFT_LABEL_TIMEOUT_S",
                                          str(LABEL_TIMEOUT_S)))
     # pointwise pretrain as pairwise initialization (round-9 verdict
-    # item #6 — latency-magnitude signal for heavy-tailed workloads);
-    # 0 = off (the historical behavior)
-    pretrain_epochs = int(os.environ.get("SPARK_GRAFT_PRETRAIN_EPOCHS", "0"))
+    # item #6 — latency-magnitude signal for heavy-tailed workloads).
+    # Default on (latency x 20) after the round-10 A/B at sf0.1/288:
+    # loss mean 0.1572 -> 0.1469 with spread 0.024 -> 0.0145 and fold-1
+    # regret -25%; rank2/exp_rank did not beat it, and no objective
+    # changes the fold-0 q64 pick (see RESULTS.md). Set
+    # SPARK_GRAFT_PRETRAIN_EPOCHS=0 for the historical cold-start path.
+    pretrain_epochs = int(os.environ.get("SPARK_GRAFT_PRETRAIN_EPOCHS", "20"))
     pretrain_mode = os.environ.get("SPARK_GRAFT_PRETRAIN_MODE", "latency")
     spark = get_spark("aqo-results")
     spark.sparkContext.setLogLevel("ERROR")
