@@ -180,7 +180,8 @@ def _split_eval(spark: SparkSession,
                 test: list[tuple[str, list[Candidate]]],
                 epochs: int, seed: int,
                 pretrain_epochs: int = 0,
-                pretrain_mode: str = "latency") -> dict[str, Any]:
+                pretrain_mode: str = "latency",
+                pretrain_censor_ms: float | None = None) -> dict[str, Any]:
     """Train on ``train``, score ``test``: returns the ranking losses,
     the argmin picks and the held-out second totals — one evaluation of
     one train/held-out split (the main split and every cross-validation
@@ -188,7 +189,8 @@ def _split_eval(spark: SparkSession,
     model = train_pairwise_from_bundles(
         [(qid, [(c.plan, float(c.exec_time_ms)) for c in cands])
          for qid, cands in train], epochs=epochs, seed=seed,
-        pretrain_epochs=pretrain_epochs, pretrain_mode=pretrain_mode)
+        pretrain_epochs=pretrain_epochs, pretrain_mode=pretrain_mode,
+        pretrain_censor_ms=pretrain_censor_ms)
     rows = [(qid, i, c.to_bundle_json(), float(c.exec_time_ms))
             for qid, cands in test for i, c in enumerate(cands)]
     df = spark.createDataFrame(
@@ -222,6 +224,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                       pretrain_epochs: int = 0,
                       pretrain_mode: str = "latency",
                       ) -> dict[str, Any]:
+    # (timeout-penalty labels are censored observations: excluded from
+    # the pointwise pretrain set, kept for the pairwise ordering pass)
     """Label a generated workload, train on the front ``train_frac`` in
     generation order (the drift framing: the past trains, the future
     evaluates), and report held-out chosen-vs-default latencies, the
@@ -247,8 +251,10 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     print(f"labeling done: {len(bundles)} bundles "
           f"(cache {cache_hits}/{cache_lookups} hits); training main split",
           file=sys.stderr, flush=True)
+    from ..plans.explore import LABEL_TIMEOUT_PENALTY as _PEN
+    censor_ms = _PEN * label_timeout_s * 1000.0
     main_eval = _split_eval(spark, train, test, epochs, seed,
-                            pretrain_epochs, pretrain_mode)
+                            pretrain_epochs, pretrain_mode, censor_ms)
     loss, wloss = main_eval["loss"], main_eval["wloss"]
     picked = main_eval["picked"]
 
@@ -267,7 +273,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             f_test = bundles[lo:hi]
             f_train = bundles[:lo] + bundles[hi:]
             ev = _split_eval(spark, f_train, f_test, epochs, seed,
-                             pretrain_epochs, pretrain_mode)
+                             pretrain_epochs, pretrain_mode, censor_ms)
             t = ev["totals"]
             gap = (round(100.0 * (t["chosen"] - t["best"]) / t["best"], 2)
                    if t["best"] > 0 else None)

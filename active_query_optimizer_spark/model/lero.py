@@ -202,7 +202,8 @@ def train_pairwise_from_bundles(
         bundles: list[tuple[str, list[tuple[PlanNode, float]]]],
         epochs: int = 100, seed: int = 0,
         pretrain_epochs: int = 0,
-        pretrain_mode: str = "latency") -> LeroModelPairWise:
+        pretrain_mode: str = "latency",
+        pretrain_censor_ms: float | None = None) -> LeroModelPairWise:
     """End-to-end: labeled bundles → fit FeatureGenerator → all-pairs →
     pairwise model (the ``training_pairwise`` orchestration,
     ``lero_train.py:76-161``).
@@ -217,24 +218,37 @@ def train_pairwise_from_bundles(
     ``latency`` fits normalized measured latency; ``rank``/``rank2``/
     ``rank4``/``exp_rank`` fit :func:`compute_rank_scores` transforms of
     each bundle's latencies (scale-free across bundles — the reference's
-    rank-score label family)."""
+    rank-score label family).
+
+    ``pretrain_censor_ms`` excludes candidates at/above that label from
+    the PRETRAIN SET ONLY: a timeout-penalty label is a censored
+    observation (a lower bound), not a latency measurement — on a
+    penalty-dense corpus (the sf1 rehearsal) fitting magnitudes to the
+    penalty constant distorts every score. The pairwise pass still sees
+    those candidates: their ordering information is valid."""
     plans = [p for _, cands in bundles for p, _ in cands]
     times = [t for _, cands in bundles for _, t in cands]
     fg = FeatureGenerator().fit(plans, times)
     model = LeroModelPairWise(fg, seed=seed)
     if pretrain_epochs > 0 and plans:
-        trees = [fg.transform_tree(p) for p in plans]
+        keep = [[(p, t) for p, t in cands
+                 if pretrain_censor_ms is None or t < pretrain_censor_ms]
+                for _, cands in bundles]
+        p_plans = [p for cands in keep for p, _ in cands]
+        p_times = [t for cands in keep for _, t in cands]
         if pretrain_mode == "latency":
-            labels = [fg.label_norm.norm(t) for t in times]
+            labels = [fg.label_norm.norm(t) for t in p_times]
         else:
-            labels = [s for _, cands in bundles
+            labels = [s for cands in keep if cands
                       for s in compute_rank_scores(
                           [t for _, t in cands], mode=pretrain_mode)]
             # rank scores are per-bundle magnitudes (1..n, squared, …);
             # squash to the same unit scale the pointwise MSE expects
-            mx = max(labels) or 1.0
+            mx = max(labels, default=0.0) or 1.0
             labels = [v / mx for v in labels]
-        model.fit(trees, labels, epochs=pretrain_epochs, seed=seed)
+        if p_plans:
+            trees = [fg.transform_tree(p) for p in p_plans]
+            model.fit(trees, labels, epochs=pretrain_epochs, seed=seed)
     x1, x2, y1, y2 = [], [], [], []
     for _, cands in bundles:
         for (pa, ta), (pb, tb) in all_pairs(cands):
