@@ -260,10 +260,17 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches candidates only. The measured pruning at sf0.01 is 5.8x
     (21,348 candidates vs 124,750 all-pairs) — the brute-force baseline
     (``dedup_ngram_jaccard``) needs a 10% id-sample to stay feasible,
-    this runs on the FULL corpus. Records are rebuilt per stage from the
-    same lineage (three consumers); a production pipeline persists the
-    record frame once, like ``dedup_minhash_lsh``'s signature table."""
+    this runs on the FULL corpus. The record frame has three consumers
+    (prefix explode + both verify sides), so it is PERSISTED plan-keyed
+    — Spark's CacheManager dedupes by canonicalized plan, exactly the
+    ``neardup_pairs`` contract — instead of re-tokenizing the corpus
+    three times per run (the pre-round-10 shape: a 3-run JIT+recompute
+    ramp, 24 s cold vs 2.1 s steady at sf0.1). At 100 TB the same move
+    is "write the ordered-record table once, join against it"."""
     rec = _setsim_records(spark, sf_dir)
+    lvl = rec.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        rec.persist()
     # prefix length n − ⌈t·n⌉ + 1 with ⌈19n/20⌉ = (19n+19) div 20 (n>0)
     plen = (F.col("n")
             - F.expr(f"({SETSIM_NUM}*n + {SETSIM_NUM}) div {SETSIM_DEN}")
