@@ -28,14 +28,40 @@ def spearman_by_group(df: DataFrame, qid_col: str = "qid",
                       pred_col: str = "score",
                       truth_col: str = "exec_time_ms") -> DataFrame:
     """``[qid, spearman]`` per query over its candidates (NULL when either
-    side is constant within the group)."""
-    w_pred = Window.partitionBy(qid_col).orderBy(pred_col, "candidate_idx")
-    w_true = Window.partitionBy(qid_col).orderBy(truth_col, "candidate_idx")
+    side is constant within the group).
+
+    Ties get AVERAGE ranks — ``rank() + (ties − 1)/2`` — the standard
+    Spearman treatment and what the reference's ``scipy.stats.spearmanr``
+    computes (``Lero/lero_test.py`` evaluation). This matters in
+    penalty-dense regimes (sf1 at the 90 s deadline): a bundle whose
+    candidates ALL saturate to the same timeout-penalty label carries no
+    ranking information, and average ranks make its truth side constant
+    ⇒ NULL corr ⇒ the group drops out of the mean, exactly like scipy's
+    NaN. The pre-round-10 ``row_number(truth, candidate_idx)`` ranking
+    instead manufactured a noise permutation from the arbitrary
+    candidate order and let it pollute the loss (measured: 80-bundle sf1
+    loss 1.48 "worse than random" while picks were oracle-exact)."""
+    w_pred = Window.partitionBy(qid_col).orderBy(pred_col)
+    w_true = Window.partitionBy(qid_col).orderBy(truth_col)
+    n_pred = Window.partitionBy(qid_col, pred_col)
+    n_true = Window.partitionBy(qid_col, truth_col)
+    half = F.lit(1).cast("double") / F.lit(2)
     ranked = (df
-              .withColumn("__rp", F.row_number().over(w_pred).cast("double"))
-              .withColumn("__rt", F.row_number().over(w_true).cast("double")))
+              .withColumn("__rp", F.rank().over(w_pred).cast("double")
+                          + (F.count(F.lit(1)).over(n_pred) - 1) * half)
+              .withColumn("__rt", F.rank().over(w_true).cast("double")
+                          + (F.count(F.lit(1)).over(n_true) - 1) * half))
+    # Pearson over the average ranks, assembled as covar / (sd·sd) with
+    # try_divide: a constant side has zero stddev, and try_divide turns
+    # that into NULL (scipy's NaN) instead of ANSI mode's DIVIDE_BY_ZERO
+    # error — F.corr itself throws under ANSI when either side is
+    # constant, which row_number ranks could never produce but average
+    # ranks deliberately do.
     return (ranked.groupBy(qid_col)
-            .agg(F.corr("__rp", "__rt").alias("spearman")))
+            .agg(F.try_divide(
+                F.covar_samp("__rp", "__rt"),
+                F.stddev_samp("__rp") * F.stddev_samp("__rt"))
+                .alias("spearman")))
 
 
 def ranking_loss(df: DataFrame, qid_col: str = "qid",

@@ -85,13 +85,40 @@ def test_weighted_ranking_loss_weights_by_pair_count(spark):
 
 
 def test_ranking_loss_skips_constant_groups(spark):
-    rows = [("q0", 0, 1.0, 1.0), ("q0", 1, 1.0, 2.0),  # constant scores → rank by idx
-            ("q1", 0, 1.0, 5.0), ("q1", 1, 2.0, 9.0)]
+    """Reference parity (scipy.stats.spearmanr): a group whose scores —
+    or whose truth labels — are all tied carries no ranking information;
+    average ranks make that side constant ⇒ NULL corr ⇒ skipped, instead
+    of row_number's arbitrary candidate-order permutation."""
+    rows = [("q0", 0, 1.0, 1.0), ("q0", 1, 1.0, 2.0),   # constant scores
+            ("q1", 0, 1.0, 5.0), ("q1", 1, 2.0, 9.0),   # perfect order
+            # all-tied truth (the sf1 all-timeout-penalty bundle shape)
+            ("q2", 0, 3.0, 180000.0), ("q2", 1, 1.0, 180000.0),
+            ("q2", 2, 2.0, 180000.0)]
     df = spark.createDataFrame(
         rows, "qid string, candidate_idx int, score double, exec_time_ms double")
-    # q0's row_number tie-break yields deterministic ranks, q1 perfect: both defined
-    loss = M.ranking_loss(df)
-    assert 0.0 <= loss <= 2.0
+    # q0 and q2 drop out; only q1 (rho = 1) counts
+    assert M.ranking_loss(df) == pytest.approx(0.0)
+    assert M.weighted_ranking_loss(df) == pytest.approx(0.0)
+
+
+def test_spearman_average_ranks_match_scipy(spark):
+    """Partial ties on both sides — pin the scipy.stats.spearmanr tie
+    semantics (Pearson over average ranks; scipy itself is not in this
+    container, so the average ranks are written out by hand)."""
+    import numpy as np
+
+    scores = [1.0, 1.0, 2.0, 3.0, 3.0, 4.0]
+    truths = [10.0, 20.0, 20.0, 20.0, 30.0, 40.0]
+    # average ranks: scores (1,1)->1.5, 2->3, (3,3)->4.5, 4->6;
+    #                truths 10->1, (20,20,20)->3, 30->5, 40->6
+    rp = np.array([1.5, 1.5, 3.0, 4.5, 4.5, 6.0])
+    rt = np.array([1.0, 3.0, 3.0, 3.0, 5.0, 6.0])
+    want = float(np.corrcoef(rp, rt)[0, 1])  # == scipy.spearmanr(scores,truths)
+    rows = [("q0", i, s, t) for i, (s, t) in enumerate(zip(scores, truths))]
+    df = spark.createDataFrame(
+        rows, "qid string, candidate_idx int, score double, exec_time_ms double")
+    got = M.spearman_by_group(df).collect()[0]["spearman"]
+    assert got == pytest.approx(want, abs=1e-9)
 
 
 def test_plan_embeddings_udf(spark, trained):
