@@ -7,12 +7,15 @@ Rebuilds ``Lero/lero_test.py:25-155``:
 - ``spearman_by_group`` / ``ranking_loss`` — 1 − mean Spearman correlation
   between predicted scores and true latencies per query
   (``compute_ranking_loss``, ``lero_test.py:115-155``). Spearman =
-  Pearson correlation of the two rank sequences; ranks come from window
-  ``row_number`` (deterministic tie-break — the corpus has no exact
-  latency ties), correlation from built-in ``F.corr`` — all JVM-side, one
-  shuffle on qid. Groups where either side is constant yield NULL corr and
-  are skipped, replicating the reference's NaN-group skip
-  (``lero_test.py:140-143``).
+  Pearson correlation of the two rank sequences with scipy tie semantics:
+  AVERAGE ranks via ``rank() + (ties − 1)/2`` window expressions, then
+  Pearson assembled as ``try_divide(covar_samp, sd·sd)`` so a
+  constant-side group yields NULL (scipy's NaN) instead of an ANSI
+  divide-by-zero — all JVM-side, one shuffle on qid. NULL-corr groups are
+  skipped from the mean, replicating the reference's NaN-group skip
+  (``lero_test.py:140-143``); when EVERY group is degenerate the loss is
+  ``None``, matching ``compute_ranking_loss``'s no-valid-groups return
+  (``lero_test.py:145-147``).
 """
 
 from __future__ import annotations
@@ -66,12 +69,15 @@ def spearman_by_group(df: DataFrame, qid_col: str = "qid",
 
 def ranking_loss(df: DataFrame, qid_col: str = "qid",
                  pred_col: str = "score",
-                 truth_col: str = "exec_time_ms") -> float:
-    """1 − mean Spearman over non-degenerate query groups."""
+                 truth_col: str = "exec_time_ms") -> float | None:
+    """1 − mean Spearman over non-degenerate query groups; ``None`` when
+    every group is degenerate (constant on either side — e.g. a fully
+    penalty-saturated sf1 batch), matching the reference's
+    no-valid-groups return (``lero_test.py:145-147``)."""
     row = (spearman_by_group(df, qid_col, pred_col, truth_col)
            .agg(F.avg("spearman").alias("mean_rho")).collect()[0])
     rho = row["mean_rho"]
-    return 1.0 - (rho if rho is not None else 0.0)
+    return None if rho is None else 1.0 - rho
 
 
 def selection_report(df: DataFrame, qid_col: str = "qid",
@@ -109,4 +115,4 @@ def weighted_ranking_loss(df: DataFrame, qid_col: str = "qid",
            .agg((F.sum(F.col("spearman") * F.col("__w"))
                  / F.sum("__w")).alias("wrho")).collect()[0])
     rho = row["wrho"]
-    return 1.0 - (rho if rho is not None else 0.0)
+    return None if rho is None else 1.0 - rho

@@ -89,6 +89,12 @@ def _revive_spark(spark: SparkSession, app: str = "aqo-results-revived",
     return fresh
 
 
+def _r4(x: float | None) -> float | None:
+    """round(x, 4) that passes through ``None`` — ranking_loss returns
+    ``None`` when every bundle is degenerate (penalty-saturated)."""
+    return None if x is None else round(x, 4)
+
+
 def _clamp_folds(cross_folds: int, n_bundles: int) -> int:
     """Clamp the cross-validation fold count so every fold's held-out
     slice is non-empty (round-6 advice: only >=3 bundles are guaranteed,
@@ -299,8 +305,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             n_timeout_picks = sum(1 for r in regrets if r[2] >= timeout_ms)
             fold_rows.append({
                 "fold": j, "n_test": len(f_test),
-                "ranking_loss": round(ev["loss"], 4),
-                "ranking_loss_weighted": round(ev["wloss"], 4),
+                "ranking_loss": _r4(ev["loss"]),
+                "ranking_loss_weighted": _r4(ev["wloss"]),
                 "totals_sec": t, "oracle_gap_pct": gap,
                 "regret_sec": round(total_regret / 1e3, 4),
                 "timeout_label_picks": n_timeout_picks,
@@ -312,14 +318,17 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                     "share_pct": round(100.0 * worst[0] / total_regret, 1),
                 },
             })
-        losses = [f["ranking_loss"] for f in fold_rows]
+        losses = [f["ranking_loss"] for f in fold_rows
+                  if f["ranking_loss"] is not None]
         gaps = [f["oracle_gap_pct"] for f in fold_rows
                 if f["oracle_gap_pct"] is not None]
         cross = {
             "k": cross_folds,
             "folds": fold_rows,
-            "loss_mean": round(sum(losses) / len(losses), 4),
-            "loss_spread": round(max(losses) - min(losses), 4),
+            "loss_mean": (round(sum(losses) / len(losses), 4)
+                          if losses else None),
+            "loss_spread": (round(max(losses) - min(losses), 4)
+                            if losses else None),
             "oracle_gap_mean_pct": (round(sum(gaps) / len(gaps), 2)
                                     if gaps else None),
             "oracle_gap_spread_pct": (round(max(gaps) - min(gaps), 2)
@@ -401,12 +410,12 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             "best_possible": tot("best_ms"),
             "worst_case": tot("worst_ms"),
         },
-        "ranking_loss": round(loss, 4),
-        "ranking_loss_weighted": round(wloss, 4),
+        "ranking_loss": _r4(loss),
+        "ranking_loss_weighted": _r4(wloss),
         "by_shape": {str(k): v for k, v in sorted(by_shape.items())},
         "deployment_latency_series": [round(x, 4) for x in
                                       deployment["latency_series"]],
-        "deployment_loss_series": [round(x, 4) for x in
+        "deployment_loss_series": [_r4(x) for x in
                                    deployment["ranking_loss_series"]],
     }
 

@@ -265,8 +265,11 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Spark's CacheManager dedupes by canonicalized plan, exactly the
     ``neardup_pairs`` contract — instead of re-tokenizing the corpus
     three times per run (the pre-round-10 shape: a 3-run JIT+recompute
-    ramp, 24 s cold vs 2.1 s steady at sf0.1). At 100 TB the same move
-    is "write the ordered-record table once, join against it"."""
+    ramp, 24 s cold vs 2.1 s steady at sf0.1). Call
+    :func:`release_setsim_records` (or ``spark.catalog.clearCache()``)
+    when a long-lived session is done with this family — mirroring
+    ``release_neardup_pairs``. At 100 TB the same move is "write the
+    ordered-record table once, join against it"."""
     rec = _setsim_records(spark, sf_dir)
     lvl = rec.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
@@ -298,6 +301,13 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_union"))
             .filter(SETSIM_DEN * F.col("n_common")
                     >= SETSIM_NUM * F.col("n_union")))
+
+
+def release_setsim_records(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the shared ordered-record cache entry for ``sf_dir``
+    (plan-keyed, so a fresh equivalent frame addresses the same entry) —
+    the ``release_neardup_pairs`` contract for the setsim family."""
+    _setsim_records(spark, sf_dir).unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,7 @@ def run_dynamic(spark: SparkSession, batches: list[list[Bundle]],
     ``dynamic.py:27-53``: retrain from scratch each batch). Returns the
     per-transition latency series and ranking losses."""
     latency_series: list[float] = []
-    loss_series: list[float] = []
+    loss_series: list[float | None] = []
     for i in range(len(batches) - 1):
         model = train_pairwise_from_bundles(batches[i], epochs=epochs,
                                             seed=seed + i)
@@ -80,7 +80,7 @@ def run_deployment(spark: SparkSession,
     bootstrap = [train_batches[0][0]]
     model_train_sets = [bootstrap] + train_batches[:-1]
     latency_series: list[float] = []
-    loss_series: list[float] = []
+    loss_series: list[float | None] = []
     for i, (train, valid) in enumerate(zip(model_train_sets, valid_batches)):
         model = train_pairwise_from_bundles(train, epochs=epochs,
                                             seed=seed + i)

@@ -27,7 +27,7 @@ class IncrementalTrainer:
     def __init__(self, epochs: int = 30, seed: int = 0) -> None:
         self.epochs, self.seed = epochs, seed
         self.model: LeroModelPairWise | None = None
-        self.loss_series: list[float] = []
+        self.loss_series: list[float | None] = []
         self.batches_seen = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -491,6 +491,27 @@ def test_neardup_pairs_one_cache_serves_graph_family(spark):
     assert not (lvl.useMemory or lvl.useDisk), "release did not drop entry"
 
 
+def test_setsim_records_release_drops_cache_entry(spark):
+    """Round-10 advice: the setsim ordered-record persist needs a release
+    path mirroring release_neardup_pairs — running the operator registers
+    the plan-keyed entry; release_setsim_records drops it."""
+    from active_query_optimizer_spark.operators import dedup
+
+    dedup.release_setsim_records(spark, SF_SMALL)
+    probe = dedup._setsim_records(spark, SF_SMALL)
+    lvl = probe.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "stale cache entry"
+    try:
+        dedup.setsim_join_prefix(spark, SF_SMALL).count()
+        lvl = probe.storageLevel
+        assert lvl.useMemory or lvl.useDisk, (
+            "setsim_join_prefix did not register the record cache")
+    finally:
+        dedup.release_setsim_records(spark, SF_SMALL)
+    lvl = probe.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "release did not drop entry"
+
+
 def test_setsim_prefix_filter_prunes_and_loses_nothing(spark):
     """Round-4 verdict item #7 — pruning effectiveness + completeness:
 

@@ -101,6 +101,20 @@ def test_ranking_loss_skips_constant_groups(spark):
     assert M.weighted_ranking_loss(df) == pytest.approx(0.0)
 
 
+def test_ranking_loss_none_when_all_groups_degenerate(spark):
+    """Reference parity (``Lero/lero_test.py:145-147``): when EVERY
+    group is degenerate, ``compute_ranking_loss`` returns ``None`` —
+    not 1.0, which would read as "worse than random" in a regime that
+    actually carries zero ranking signal (the fully penalty-saturated
+    sf1 batch shape)."""
+    rows = [("q0", 0, 1.0, 180000.0), ("q0", 1, 2.0, 180000.0),
+            ("q1", 0, 5.0, 5.0), ("q1", 1, 5.0, 9.0)]
+    df = spark.createDataFrame(
+        rows, "qid string, candidate_idx int, score double, exec_time_ms double")
+    assert M.ranking_loss(df) is None
+    assert M.weighted_ranking_loss(df) is None
+
+
 def test_spearman_average_ranks_match_scipy(spark):
     """Partial ties on both sides — pin the scipy.stats.spearmanr tie
     semantics (Pearson over average ranks; scipy itself is not in this
