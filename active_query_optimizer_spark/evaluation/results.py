@@ -31,8 +31,9 @@ from pyspark.sql import SparkSession
 from ..catalog import register_views
 from ..model.infer import choose_best, score_plans
 from ..model.lero import train_pairwise_from_bundles
-from ..plans.explore import (HINT_STRATEGIES, Candidate,
-                             ZombieExecutionError, label_query)
+from ..plans.explore import (HINT_STRATEGIES, LABEL_TIMEOUT_PENALTY,
+                             Candidate, ZombieExecutionError, label_query,
+                             probe_default)
 from ..stats.harvester import harvest_range_dict
 from ..workload.generate import generate_workload
 from .metrics import ranking_loss, weighted_ranking_loss
@@ -112,34 +113,65 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
                              strategies: tuple[str, ...] = HINT_STRATEGIES,
                              timeout_s: float | None = LABEL_TIMEOUT_S,
                              cache_dir: str | None = None,
+                             probe_default_s: float | None = None,
+                             skip_saturated: bool = False,
+                             oversample: float = 2.0,
                              ) -> tuple[list[tuple[str, list[Candidate]]],
-                                        tuple[int, int], SparkSession]:
+                                        tuple[int, int], SparkSession,
+                                        dict[str, int]]:
     """Generate a seeded workload against ``sf_dir``'s views and label each
     query by executing its plan variants. Queries whose variants collapse
     to one physical plan carry no ranking signal and are skipped (the
-    generator over-samples 2x to cover the loss).
+    generator over-samples ``oversample``x to cover the loss).
 
     With ``cache_dir`` set, bundles come from the label cache when their
     (sql, strategies, timeout, sf_dir, code+data-fingerprint) key is present
     (``plans/labelcache`` — the deliberate measurement-protocol decision:
     a grown workload mixes measurement sessions). Returns
-    ``(bundles, (hits, lookups), spark)`` — lookups counts every labeled
-    query including skipped single-plan ones, and the returned session
-    replaces the caller's if a zombie variant forced a JVM teardown
-    (see ``_revive_spark``); tests leave the cache off."""
+    ``(bundles, (hits, lookups), spark, skip_stats)`` — lookups counts
+    every labeled query including skipped single-plan ones, and the
+    returned session replaces the caller's if a zombie variant forced a
+    JVM teardown (see ``_revive_spark``); tests leave the cache off.
+
+    Deadline-saturation controls (round-10 verdict #2 — at 10x data with
+    a fixed deadline, most generated bundles saturate to the timeout
+    penalty on EVERY candidate and carry zero ranking signal):
+
+    - ``probe_default_s``: before fully labeling a never-seen query, time
+      its DEFAULT plan under this budget (typically ``0.5 × timeout_s``);
+      a timeout skips the query for one bounded execution instead of
+      ``variants × timeout``, and the outcome is cached as a probe marker
+      so reruns skip instantly. Already-cached bundles are never probed.
+    - ``skip_saturated``: drop a labeled bundle whose candidates ALL
+      carry the timeout-penalty label (catches cached saturated bundles
+      and probe-passed queries whose every hinted sibling still
+      saturated). The skipped bundle stays in the cache; it is only
+      biased out of the SELECTED workload.
+
+    Both document the generation bias in ``skip_stats``
+    (``{"probe_skipped": n, "saturated_skipped": n}``)."""
     register_views(spark, sf_dir)
     print("labeling: harvesting ranges...", file=sys.stderr, flush=True)
     rd = harvest_range_dict(spark, sf_dir)
     print("labeling: generating workload...", file=sys.stderr, flush=True)
-    wl = sorted(generate_workload(spark, rd, num_sql=2 * num_queries,
+    wl = sorted(generate_workload(spark, rd,
+                                  num_sql=int(oversample * num_queries),
                                   seed=seed).collect(),
                 key=lambda r: r["id"])
     hits = lookups = 0
+    skip_stats = {"probe_skipped": 0, "saturated_skipped": 0}
     out: list[tuple[str, list[Candidate]]] = []
     for r in wl:
         print(f"labeling: q{r['id']} (kept {len(out)}/{num_queries})",
               file=sys.stderr, flush=True)
         try:
+            if probe_default_s is not None and not _probe_admits(
+                    spark, r["sql"], strategies, timeout_s, sf_dir,
+                    cache_dir, probe_default_s):
+                skip_stats["probe_skipped"] += 1
+                print(f"labeling: q{r['id']} probe-skipped (default > "
+                      f"{probe_default_s}s)", file=sys.stderr, flush=True)
+                continue
             if cache_dir is not None:
                 from ..plans.labelcache import cached_label_query
 
@@ -175,10 +207,50 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
                       file=sys.stderr)
             continue
         if len(cands) >= 2:
+            if skip_saturated and timeout_s is not None and _is_saturated(
+                    cands, timeout_s):
+                skip_stats["saturated_skipped"] += 1
+                print(f"labeling: q{r['id']} saturated-skipped (all "
+                      f"{len(cands)} candidates at the timeout penalty)",
+                      file=sys.stderr, flush=True)
+                continue
             out.append((f"q{r['id']}", cands))
         if len(out) >= num_queries:
             break
-    return out, (hits, lookups), spark
+    return out, (hits, lookups), spark, skip_stats
+
+
+def _is_saturated(cands: list[Candidate], timeout_s: float) -> bool:
+    """True when every candidate carries the timeout-penalty label — the
+    bundle has zero ranking signal (its truth side is constant, so the
+    tie-aware Spearman already NULLs it out of the loss)."""
+    pen_ms = LABEL_TIMEOUT_PENALTY * timeout_s * 1000.0
+    return all(float(c.exec_time_ms) >= pen_ms for c in cands)
+
+
+def _probe_admits(spark: SparkSession, sql: str,
+                  strategies: tuple[str, ...], timeout_s: float | None,
+                  sf_dir: str, cache_dir: str | None,
+                  probe_s: float) -> bool:
+    """Admission test for one generated query: True = proceed to full
+    labeling. Cached bundles and poison markers bypass the probe (their
+    admission was already paid for / is owned by the poison budget); a
+    never-seen query runs its default plan once under ``probe_s`` and the
+    outcome is cached when a cache is in use."""
+    if cache_dir is not None:
+        from ..plans.labelcache import (bundle_key, read_bundle,
+                                        read_probe, record_probe)
+
+        key = bundle_key(sql, strategies, timeout_s, sf_dir)
+        if read_bundle(cache_dir, key) is not None:
+            return True  # full bundle or poison marker owns this query
+        marker = read_probe(cache_dir, key, probe_s)
+        if marker is not None:
+            return bool(marker["passed"])
+        ms = probe_default(spark, sql, probe_s)
+        record_probe(cache_dir, key, probe_s, ms is not None, ms)
+        return ms is not None
+    return probe_default(spark, sql, probe_s) is not None
 
 
 def _split_eval(spark: SparkSession,
@@ -229,6 +301,9 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                       label_timeout_s: float = LABEL_TIMEOUT_S,
                       pretrain_epochs: int = 0,
                       pretrain_mode: str = "latency",
+                      probe_default_s: float | None = None,
+                      skip_saturated: bool = False,
+                      oversample: float = 2.0,
                       ) -> dict[str, Any]:
     # (timeout-penalty labels are censored observations: excluded from
     # the pointwise pretrain set, kept for the pairwise ordering pass)
@@ -246,9 +321,11 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     a cross-split spread instead of one split's draw."""
     from ..pipelines.dynamic import run_deployment
 
-    bundles, (cache_hits, cache_lookups), spark = label_generated_workload(
-        spark, sf_dir, num_queries, seed, cache_dir=cache_dir,
-        timeout_s=label_timeout_s)
+    bundles, (cache_hits, cache_lookups), spark, skip_stats = \
+        label_generated_workload(
+            spark, sf_dir, num_queries, seed, cache_dir=cache_dir,
+            timeout_s=label_timeout_s, probe_default_s=probe_default_s,
+            skip_saturated=skip_saturated, oversample=oversample)
     if len(bundles) < 3:
         raise ValueError(f"only {len(bundles)} rankable bundles generated")
     n_train = max(1, int(len(bundles) * train_frac))
@@ -402,6 +479,23 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         "label_cache": {"enabled": cache_dir is not None,
                         "hits": cache_hits,
                         "misses": cache_lookups - cache_hits},
+        # generation-bias + saturation transparency (round-10 verdict #2):
+        # how many queries the probe/saturation filters biased out, and
+        # how many KEPT bundles still carry zero ranking signal (all
+        # candidates at the timeout penalty) — the held-out count is the
+        # verdict's "<30% of held-out fully saturated" criterion
+        "workload_bias": {
+            "probe_default_s": probe_default_s,
+            "skip_saturated": skip_saturated,
+            "oversample": oversample,
+            **skip_stats,
+        },
+        "saturated_bundles": {
+            "labeled": sum(1 for _, cs in bundles
+                           if _is_saturated(cs, label_timeout_s)),
+            "held_out": sum(1 for _, cs in test
+                            if _is_saturated(cs, label_timeout_s)),
+        },
         "cross_split": cross,
         "per_query": per_query,
         "totals_sec": {
@@ -461,6 +555,31 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
             "labeled live this run (`plans/labelcache.py` documents the "
             "protocol decision; a cached label invalidates on any edit to "
             "the labeling code).",
+            "",
+        ]
+    wb = res.get("workload_bias") or {}
+    sat = res.get("saturated_bundles")
+    if wb.get("probe_default_s") or wb.get("skip_saturated") or (
+            sat and (sat["labeled"] or sat["held_out"])):
+        parts = []
+        if wb.get("probe_default_s"):
+            parts.append(
+                f"{wb.get('probe_skipped', 0)} generated queries "
+                f"probe-skipped (default plan exceeded "
+                f"{wb['probe_default_s']}s)")
+        if wb.get("skip_saturated"):
+            parts.append(f"{wb.get('saturated_skipped', 0)} labeled "
+                         "bundles dropped as fully timeout-saturated")
+        bias_txt = ("Workload bias toward sub-deadline queries: "
+                    + "; ".join(parts) + ". " if parts else "")
+        lines += [
+            bias_txt
+            + (f"Fully saturated bundles KEPT: {sat['labeled']}"
+               f"/{res['n_labeled']} labeled, {sat['held_out']}"
+               f"/{res['n_test']} held-out (a saturated bundle's truth "
+               "side is constant, so it carries zero ranking signal and "
+               "the tie-aware Spearman drops it from the loss)."
+               if sat else ""),
             "",
         ]
     if res.get("cross_split"):

@@ -242,6 +242,30 @@ def record_poisoned(cache_dir: str, key: str, error: str = "") -> int:
     return attempts
 
 
+def record_probe(cache_dir: str, key: str, probe_s: float,
+                 passed: bool, ms: float | None = None) -> None:
+    """Persist the default-variant probe outcome for ``key`` (round-10
+    verdict #2 — de-saturating the scale rehearsal): a query whose
+    DEFAULT plan cannot finish within ``probe_s`` is generation-biased
+    out of the workload BEFORE paying for full variant labeling, and the
+    marker makes that decision free on every rerun. Keyed alongside the
+    bundle (same code+data fingerprints), so a labeling-code or data
+    change re-probes."""
+    _atomic_write(cache_dir, f"{key}-probe",
+                  {"probe": True, "probe_s": probe_s,
+                   "passed": bool(passed), "ms": ms})
+
+
+def read_probe(cache_dir: str, key: str, probe_s: float):
+    """The stored probe marker for ``key`` at exactly ``probe_s``, or
+    ``None`` (never probed / probed at a different budget)."""
+    raw = read_bundle(cache_dir, f"{key}-probe")
+    if (isinstance(raw, dict) and raw.get("probe")
+            and raw.get("probe_s") == probe_s):
+        return raw
+    return None
+
+
 def read_bundle(cache_dir: str, key: str):
     """Raw cache read: ``None`` (miss), a poison-marker dict, or the
     encoded candidate list. A legacy empty-list bundle (the round-6
@@ -287,5 +311,5 @@ def cached_label_query(spark: "SparkSession", sql: str,
 
 
 __all__ = ["cached_label_query", "write_bundle", "read_bundle",
-           "record_poisoned", "bundle_key", "code_fingerprint",
-           "data_fingerprint", "MAX_POISON_ATTEMPTS"]
+           "record_poisoned", "record_probe", "read_probe", "bundle_key",
+           "code_fingerprint", "data_fingerprint", "MAX_POISON_ATTEMPTS"]

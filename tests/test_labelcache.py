@@ -227,3 +227,41 @@ def test_hit_path_never_touches_the_cluster(tmp_path):
                                      "/data/sf0.1", cache)
     assert len(out) == 1 and out[0].exec_time_ms == 123.5
     assert hit is True
+
+
+def test_probe_marker_roundtrip(tmp_path):
+    """Probe markers (round-10 verdict #2) persist the default-plan
+    admission outcome per (key, probe budget); a different budget
+    re-probes rather than trusting a stale decision."""
+    cache = str(tmp_path)
+    key = "k" * 32
+    assert LC.read_probe(cache, key, 45.0) is None
+    LC.record_probe(cache, key, 45.0, False)
+    m = LC.read_probe(cache, key, 45.0)
+    assert m is not None and m["passed"] is False
+    assert LC.read_probe(cache, key, 90.0) is None  # budget mismatch
+    LC.record_probe(cache, key, 45.0, True, ms=123.0)
+    m = LC.read_probe(cache, key, 45.0)
+    assert m["passed"] is True and m["ms"] == 123.0
+
+
+def test_probe_admits_cached_paths_no_cluster(tmp_path):
+    """Every cached admission decision must resolve without a
+    SparkSession: a stored bundle bypasses the probe entirely, and a
+    stored probe marker answers pass/fail directly."""
+    from active_query_optimizer_spark.evaluation.results import _probe_admits
+
+    cache = str(tmp_path)
+    key = LC.bundle_key("SELECT 1", ("A",), 30.0, "/data/sf0.1")
+    with gzip.open(os.path.join(cache, f"{key}.json.gz"), "wt") as fh:
+        json.dump(LC._encode([_cand()]), fh)
+    assert _probe_admits(None, "SELECT 1", ("A",), 30.0, "/data/sf0.1",
+                         cache, 15.0) is True
+    key2 = LC.bundle_key("SELECT 2", ("A",), 30.0, "/data/sf0.1")
+    LC.record_probe(cache, key2, 15.0, False)
+    assert _probe_admits(None, "SELECT 2", ("A",), 30.0, "/data/sf0.1",
+                         cache, 15.0) is False
+    key3 = LC.bundle_key("SELECT 3", ("A",), 30.0, "/data/sf0.1")
+    LC.record_probe(cache, key3, 15.0, True, ms=1.0)
+    assert _probe_admits(None, "SELECT 3", ("A",), 30.0, "/data/sf0.1",
+                         cache, 15.0) is True

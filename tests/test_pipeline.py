@@ -231,6 +231,53 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_probe_and_saturation_bias_in_labeling_loop(spark, monkeypatch):
+    """Round-10 verdict #2 (de-saturating the scale rehearsal): the
+    labeling loop must (a) probe-skip queries whose default plan exceeds
+    the probe budget BEFORE paying for full variant labeling, (b) drop
+    labeled bundles whose candidates all sit at the timeout penalty, and
+    (c) account for both in skip_stats. Labeling and probing are faked
+    for determinism — the filters, accounting, and loop control are what
+    this pins."""
+    from active_query_optimizer_spark.evaluation import results as R
+    from active_query_optimizer_spark.plans.explore import (
+        Candidate, LABEL_TIMEOUT_PENALTY)
+
+    pen_ms = LABEL_TIMEOUT_PENALTY * 1.0 * 1000.0
+
+    def fake_label(spark_, sql, strategies, timeout_s):
+        n = fake_label.n = fake_label.n + 1
+        base = pen_ms if n % 2 == 1 else 5.0  # odd calls fully saturate
+        return [Candidate("default", sql, f"fp{n}a", None,
+                          exec_time_ms=base),
+                Candidate("rot1", sql, f"fp{n}b", None,
+                          exec_time_ms=pen_ms)]
+    fake_label.n = 0
+
+    def fake_probe(spark_, sql, probe_s):
+        n = fake_probe.n = fake_probe.n + 1
+        return None if n % 3 == 0 else 1.0  # every 3rd default saturates
+    fake_probe.n = 0
+
+    monkeypatch.setattr(R, "label_query", fake_label)
+    monkeypatch.setattr(R, "probe_default", fake_probe)
+    bundles, (hits, lookups), _, stats = R.label_generated_workload(
+        spark, SF_SMALL, num_queries=2, seed=3, timeout_s=1.0,
+        cache_dir=None, probe_default_s=0.5, skip_saturated=True,
+        oversample=6.0)
+    assert len(bundles) == 2
+    assert all(not R._is_saturated(cs, 1.0) for _, cs in bundles)
+    assert stats["probe_skipped"] >= 1
+    assert stats["saturated_skipped"] >= 1
+    # saturation predicate itself
+    sat = [Candidate("default", "s", "f1", None, exec_time_ms=pen_ms),
+           Candidate("rot1", "s", "f2", None, exec_time_ms=pen_ms)]
+    assert R._is_saturated(sat, 1.0)
+    assert not R._is_saturated(
+        sat[:1] + [Candidate("rot1", "s", "f3", None, exec_time_ms=1.0)],
+        1.0)
+
+
 def test_optimizer_results_regenerate_sf001(spark, tmp_path):
     """RESULTS.md regeneration at sf0.01: the end-to-end artifact pipeline
     (generate -> explore/label -> train -> select -> deployment series)

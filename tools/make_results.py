@@ -44,6 +44,15 @@ def main() -> None:
     # SPARK_GRAFT_PRETRAIN_EPOCHS=0 for the historical cold-start path.
     pretrain_epochs = int(os.environ.get("SPARK_GRAFT_PRETRAIN_EPOCHS", "20"))
     pretrain_mode = os.environ.get("SPARK_GRAFT_PRETRAIN_MODE", "latency")
+    # de-saturation controls for deadline-scaled rehearsals (round-10
+    # verdict #2): probe the default plan before paying for full variant
+    # labeling, drop zero-signal all-penalty bundles, and over-generate
+    # to cover the skips. Off by default — the sf0.1 headline keeps its
+    # historical protocol.
+    probe_env = os.environ.get("SPARK_GRAFT_PROBE_DEFAULT_S")
+    probe_default_s = float(probe_env) if probe_env else None
+    skip_saturated = os.environ.get("SPARK_GRAFT_SKIP_SATURATED") == "1"
+    oversample = float(os.environ.get("SPARK_GRAFT_OVERSAMPLE", "2"))
     spark = get_spark("aqo-results")
     spark.sparkContext.setLogLevel("ERROR")
     res = optimizer_results(spark, sf_dir, num_queries=num_queries,
@@ -51,7 +60,10 @@ def main() -> None:
                             cross_folds=folds,
                             label_timeout_s=label_timeout,
                             pretrain_epochs=pretrain_epochs,
-                            pretrain_mode=pretrain_mode)
+                            pretrain_mode=pretrain_mode,
+                            probe_default_s=probe_default_s,
+                            skip_saturated=skip_saturated,
+                            oversample=oversample)
     # SPARK_GRAFT_RESULTS_OUT lets a scale rehearsal (e.g. the sf1 run)
     # write its own artifact instead of clobbering the headline RESULTS.md
     out = os.environ.get("SPARK_GRAFT_RESULTS_OUT",
