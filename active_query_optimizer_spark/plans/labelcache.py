@@ -160,10 +160,11 @@ def data_fingerprint_legacy_v1(sf_dir: str) -> str:
 
 
 def _key_from(sql: str, strategies: tuple[str, ...],
-              timeout_s: float | None, sf_dir: str, data_fp: str) -> str:
+              timeout_s: float | None, sf_dir: str, data_fp: str,
+              code_fp: str | None = None) -> str:
     payload = json.dumps(
         [sql, list(strategies), timeout_s, os.path.normpath(sf_dir),
-         code_fingerprint(), data_fp],
+         code_fp if code_fp is not None else code_fingerprint(), data_fp],
         sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
@@ -182,6 +183,31 @@ def bundle_key_legacy_v1(sql: str, strategies: tuple[str, ...],
     :func:`data_fingerprint_legacy_v1`; migration use only."""
     return _key_from(sql, strategies, timeout_s, sf_dir,
                      data_fingerprint_legacy_v1(sf_dir))
+
+
+def bundle_key_at_code(sql: str, strategies: tuple[str, ...],
+                       timeout_s: float | None, sf_dir: str,
+                       code_fp: str) -> str:
+    """``bundle_key`` under an EXPLICIT code fingerprint — migration use
+    only (``tools/rekey_label_cache.py --legacy-code-rev``): when a
+    fingerprinted source file changes in a way verified not to alter
+    label semantics (e.g. a purely additive helper), the old fingerprint
+    recomputed from git establishes each stored bundle's provenance
+    exactly like the legacy data-fingerprint matchers do."""
+    return _key_from(sql, strategies, timeout_s, sf_dir,
+                     data_fingerprint(sf_dir), code_fp)
+
+
+def code_fingerprint_of(sources: dict[str, bytes]) -> str:
+    """The fingerprint that ``code_fingerprint`` would produce for the
+    given ``{relpath: content}`` mapping of ``_FINGERPRINT_FILES`` —
+    lets migration tooling recompute a historical fingerprint from
+    ``git show REV:path`` blobs without checking the revision out."""
+    h = hashlib.sha256()
+    for rel in _FINGERPRINT_FILES:
+        h.update(sources[rel])
+        h.update(b"\0")
+    return h.hexdigest()[:16]
 
 
 def _encode(cands: list[Candidate]) -> list[dict]:

@@ -265,3 +265,28 @@ def test_probe_admits_cached_paths_no_cluster(tmp_path):
     LC.record_probe(cache, key3, 15.0, True, ms=1.0)
     assert _probe_admits(None, "SELECT 3", ("A",), 30.0, "/data/sf0.1",
                          cache, 15.0) is True
+
+
+def test_code_fingerprint_of_matches_live_fingerprint():
+    """``code_fingerprint_of`` over the CURRENT on-disk sources must
+    equal the live memoized fingerprint — the property the
+    ``--legacy-code-rev`` cache migration rests on (recomputing a
+    historical fingerprint from ``git show`` blobs)."""
+    pkg_root = os.path.dirname(os.path.abspath(LC.__file__)).rsplit(
+        os.sep + "plans", 1)[0]
+    sources = {}
+    for rel in LC._FINGERPRINT_FILES:
+        with open(os.path.join(pkg_root, rel), "rb") as fh:
+            sources[rel] = fh.read()
+    assert LC.code_fingerprint_of(sources) == LC.code_fingerprint()
+
+
+def test_bundle_key_at_code_matches_current_and_diverges():
+    """Explicit-fingerprint keys equal bundle_key at the live fingerprint
+    and diverge under any other fingerprint (provenance-by-key-match)."""
+    cur = LC.code_fingerprint()
+    k = LC.bundle_key("SELECT 1", ("A",), 30.0, "/data/sf0.1")
+    assert LC.bundle_key_at_code("SELECT 1", ("A",), 30.0, "/data/sf0.1",
+                                 cur) == k
+    assert LC.bundle_key_at_code("SELECT 1", ("A",), 30.0, "/data/sf0.1",
+                                 "deadbeefdeadbeef") != k

@@ -36,10 +36,20 @@ silently move labels onto keys claiming a different dataset/deadline
 * never overwrites an existing target file (a valid same-SQL bundle
   under the new key wins over the orphan being moved).
 
+* auto-migrates bundles keyed under a HISTORICAL code fingerprint when
+  ``--legacy-code-rev REV`` names the git revision whose labeling
+  sources the cache was measured under (use with ``--force-code-ok``
+  after verifying the diff since REV does not alter label semantics —
+  e.g. a purely additive helper): the old fingerprint is recomputed
+  from ``git show REV:path`` and a key match under it establishes the
+  bundle's (sf_dir, timeout) provenance exactly like the legacy
+  data-fingerprint matcher.
+
 Usage::
 
     python tools/rekey_label_cache.py [--dry-run] \
-        [--known SF_DIR:TIMEOUT ...] [--orphans-from SF_DIR:TIMEOUT]
+        [--known SF_DIR:TIMEOUT ...] [--orphans-from SF_DIR:TIMEOUT] \
+        [--legacy-code-rev REV --force-code-ok]
 """
 
 from __future__ import annotations
@@ -102,6 +112,7 @@ def main() -> None:
     cache_dir = os.path.join(REPO, ".label_cache")
     configs = list(_KNOWN_CONFIGS)
     orphans_from: tuple[str, float] | None = None
+    legacy_code_fp: str | None = None
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--known":
@@ -109,6 +120,20 @@ def main() -> None:
         elif a == "--orphans-from":
             orphans_from = _parse_config(argv[i + 1])
             configs.append(orphans_from)
+        elif a == "--legacy-code-rev":
+            rev = argv[i + 1]
+            pkg = "active_query_optimizer_spark"
+            sources = {}
+            for rel in LC._FINGERPRINT_FILES:
+                blob = subprocess.run(
+                    ["git", "show", f"{rev}:{pkg}/{rel}"],
+                    cwd=REPO, capture_output=True)
+                if blob.returncode != 0:
+                    sys.exit(f"cannot read {pkg}/{rel} at {rev}")
+                sources[rel] = blob.stdout
+            legacy_code_fp = LC.code_fingerprint_of(sources)
+            print(f"legacy code fingerprint at {rev}: {legacy_code_fp} "
+                  f"(current: {LC.code_fingerprint()})")
     # data_fingerprint only works for directories that still exist (the
     # sf1 rehearsal dir is gitignored and regenerable — if it was
     # regenerated since the labels were measured, its bundles show up as
@@ -152,6 +177,14 @@ def main() -> None:
             ((d, t) for d, t in configs
              if LC.bundle_key_legacy_v1(sql, HINT_STRATEGIES, t, d)
              == old_key), None)
+        if legacy_cfg is None and legacy_code_fp is not None:
+            # keyed under the verified historical code fingerprint: the
+            # key match establishes (sf_dir, timeout) provenance
+            legacy_cfg = next(
+                ((d, t) for d, t in configs
+                 if LC.bundle_key_at_code(sql, HINT_STRATEGIES, t, d,
+                                          legacy_code_fp) == old_key),
+                None)
         if legacy_cfg is None and orphans_from is None:
             # unknown schema: provenance must be explicit
             orphans.append(old_key)
