@@ -259,16 +259,25 @@ def _split_eval(spark: SparkSession,
                 epochs: int, seed: int,
                 pretrain_epochs: int = 0,
                 pretrain_mode: str = "latency",
-                pretrain_censor_ms: float | None = None) -> dict[str, Any]:
+                pretrain_censor_ms: float | None = None,
+                enrich: bool = False) -> dict[str, Any]:
     """Train on ``train``, score ``test``: returns the ranking losses,
     the argmin picks and the held-out second totals — one evaluation of
     one train/held-out split (the main split and every cross-validation
-    fold go through this same path)."""
+    fold go through this same path). With ``enrich``, candidates are
+    expected to carry realized-strategy refined plans
+    (``plans.enrich.enrich_candidates``) and the extended-vocabulary
+    featurizer is used end-to-end (train + executor-side scoring)."""
+    fg = None
+    if enrich:
+        from ..plans.enrich import EnrichedFeatureGenerator
+
+        fg = EnrichedFeatureGenerator()
     model = train_pairwise_from_bundles(
         [(qid, [(c.plan, float(c.exec_time_ms)) for c in cands])
          for qid, cands in train], epochs=epochs, seed=seed,
         pretrain_epochs=pretrain_epochs, pretrain_mode=pretrain_mode,
-        pretrain_censor_ms=pretrain_censor_ms)
+        pretrain_censor_ms=pretrain_censor_ms, feature_generator=fg)
     rows = [(qid, i, c.to_bundle_json(), float(c.exec_time_ms))
             for qid, cands in test for i, c in enumerate(cands)]
     df = spark.createDataFrame(
@@ -304,6 +313,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                       probe_default_s: float | None = None,
                       skip_saturated: bool = False,
                       oversample: float = 2.0,
+                      enrich_joins: bool = False,
                       ) -> dict[str, Any]:
     # (timeout-penalty labels are censored observations: excluded from
     # the pointwise pretrain set, kept for the pairwise ordering pass)
@@ -336,8 +346,18 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
           file=sys.stderr, flush=True)
     from ..plans.explore import LABEL_TIMEOUT_PENALTY as _PEN
     censor_ms = _PEN * label_timeout_s * 1000.0
+    if enrich_joins:
+        # refine join ops with each candidate's recorded realized
+        # strategy (round-10 verdict #4) — cache-immutable: new Candidate
+        # objects, same labels
+        from ..plans.enrich import enrich_candidates
+
+        bundles = [(qid, enrich_candidates(cands))
+                   for qid, cands in bundles]
+        train, test = bundles[:n_train], bundles[n_train:]
     main_eval = _split_eval(spark, train, test, epochs, seed,
-                            pretrain_epochs, pretrain_mode, censor_ms)
+                            pretrain_epochs, pretrain_mode, censor_ms,
+                            enrich=enrich_joins)
     loss, wloss = main_eval["loss"], main_eval["wloss"]
     picked = main_eval["picked"]
 
@@ -356,7 +376,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             f_test = bundles[lo:hi]
             f_train = bundles[:lo] + bundles[hi:]
             ev = _split_eval(spark, f_train, f_test, epochs, seed,
-                             pretrain_epochs, pretrain_mode, censor_ms)
+                             pretrain_epochs, pretrain_mode, censor_ms,
+                             enrich=enrich_joins)
             t = ev["totals"]
             gap = (round(100.0 * (t["chosen"] - t["best"]) / t["best"], 2)
                    if t["best"] > 0 else None)
@@ -461,8 +482,13 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                        for q, cs in bundles[i + per_batch:i + per_batch + 1]])
         i += per_batch + 1
     print("deployment series...", file=sys.stderr, flush=True)
+    dep_fg = None
+    if enrich_joins:
+        from ..plans.enrich import EnrichedFeatureGenerator
+
+        dep_fg = EnrichedFeatureGenerator()
     deployment = run_deployment(spark, trains, valids, epochs=epochs,
-                                seed=seed)
+                                seed=seed, feature_generator=dep_fg)
 
     def tot(key: str) -> float:
         return round(sum(q[key] for q in per_query) / 1000.0, 4)
@@ -476,6 +502,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         "seed": seed,
         "pretrain": ({"epochs": pretrain_epochs, "mode": pretrain_mode}
                      if pretrain_epochs else None),
+        "features": "enriched-joins" if enrich_joins else "base",
         "label_cache": {"enabled": cache_dir is not None,
                         "hits": cache_hits,
                         "misses": cache_lookups - cache_hits},
@@ -531,7 +558,9 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
         f"seed: {res['seed']}"
         + (f"  |  pointwise pretrain: {res['pretrain']['mode']} x "
            f"{res['pretrain']['epochs']} epochs"
-           if res.get("pretrain") else ""),
+           if res.get("pretrain") else "")
+        + ("  |  features: realized-join enriched"
+           if res.get("features") == "enriched-joins" else ""),
         "",
         "## Held-out totals (seconds, sum over test queries)",
         "",

@@ -42,11 +42,24 @@ def _model_state(model: LeroModel) -> dict:
 
 
 def _rebuild(state: dict) -> LeroModel:
-    fg = FeatureGenerator.from_state(state["fg"])
+    if state["fg"].get("kind") == "enriched":
+        from ..plans.enrich import EnrichedFeatureGenerator
+
+        fg = EnrichedFeatureGenerator.from_state(state["fg"])
+    else:
+        fg = FeatureGenerator.from_state(state["fg"])
     model = LeroModel(fg)
     model.net = LeroNet(fg.input_feature_dim, hidden=state["hidden"])
     model.net.load_state_arrays(state["weights"])
     return model
+
+
+def _parser_of(fg: FeatureGenerator):
+    """The featurizer's plan-JSON parser: an enriched generator preserves
+    its extended op vocabulary (``parse_plan``); the base generator keeps
+    the reference's Unknown-folding ``from_pg_json``."""
+    custom = getattr(fg, "parse_plan", None)
+    return custom if custom is not None else (lambda p: from_pg_json(p)[0])
 
 
 def score_plans(df: DataFrame, model: LeroModel,
@@ -63,7 +76,8 @@ def score_plans(df: DataFrame, model: LeroModel,
             if s.empty:
                 yield pd.Series([], dtype=float)
                 continue
-            trees = [local.fg.transform_tree(from_pg_json(p)[0]) for p in s]
+            parse = _parser_of(local.fg)
+            trees = [local.fg.transform_tree(parse(p)) for p in s]
             feats, idx, nn = prepare_trees(trees)
             scores, _ = local.net.forward(feats, idx, nn)
             yield pd.Series(np.asarray(scores, dtype=float))
@@ -86,7 +100,8 @@ def plan_embeddings(df: DataFrame, model: LeroModel,
             if s.empty:
                 yield pd.Series([], dtype=object)
                 continue
-            trees = [local.fg.transform_tree(from_pg_json(p)[0]) for p in s]
+            parse = _parser_of(local.fg)
+            trees = [local.fg.transform_tree(parse(p)) for p in s]
             feats, idx, nn = prepare_trees(trees)
             _, emb = local.net.forward(feats, idx, nn)
             yield pd.Series(list(np.asarray(emb, dtype=float)))

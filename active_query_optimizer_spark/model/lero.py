@@ -203,7 +203,9 @@ def train_pairwise_from_bundles(
         epochs: int = 100, seed: int = 0,
         pretrain_epochs: int = 0,
         pretrain_mode: str = "latency",
-        pretrain_censor_ms: float | None = None) -> LeroModelPairWise:
+        pretrain_censor_ms: float | None = None,
+        feature_generator: FeatureGenerator | None = None,
+        ) -> LeroModelPairWise:
     """End-to-end: labeled bundles → fit FeatureGenerator → all-pairs →
     pairwise model (the ``training_pairwise`` orchestration,
     ``lero_train.py:76-161``).
@@ -225,10 +227,16 @@ def train_pairwise_from_bundles(
     observation (a lower bound), not a latency measurement — on a
     penalty-dense corpus (the sf1 rehearsal) fitting magnitudes to the
     penalty constant distorts every score. The pairwise pass still sees
-    those candidates: their ordering information is valid."""
+    those candidates: their ordering information is valid.
+
+    ``feature_generator`` substitutes the featurizer (e.g.
+    ``plans.enrich.EnrichedFeatureGenerator`` over realized-strategy
+    refined trees — round-10 verdict #4); default is the reference's
+    base ``FeatureGenerator``."""
     plans = [p for _, cands in bundles for p, _ in cands]
     times = [t for _, cands in bundles for _, t in cands]
-    fg = FeatureGenerator().fit(plans, times)
+    fg = (feature_generator if feature_generator is not None
+          else FeatureGenerator()).fit(plans, times)
     model = LeroModelPairWise(fg, seed=seed)
     if pretrain_epochs > 0 and plans:
         keep = [[(p, t) for p, t in cands

@@ -53,6 +53,10 @@ def main() -> None:
     probe_default_s = float(probe_env) if probe_env else None
     skip_saturated = os.environ.get("SPARK_GRAFT_SKIP_SATURATED") == "1"
     oversample = float(os.environ.get("SPARK_GRAFT_OVERSAMPLE", "2"))
+    # realized-join feature enrichment (round-10 verdict #4): refine the
+    # PG-projected join ops with each candidate's recorded realized
+    # strategy before featurization — same labels, richer features
+    enrich_joins = os.environ.get("SPARK_GRAFT_ENRICH_JOINS") == "1"
     spark = get_spark("aqo-results")
     spark.sparkContext.setLogLevel("ERROR")
     res = optimizer_results(spark, sf_dir, num_queries=num_queries,
@@ -63,7 +67,8 @@ def main() -> None:
                             pretrain_mode=pretrain_mode,
                             probe_default_s=probe_default_s,
                             skip_saturated=skip_saturated,
-                            oversample=oversample)
+                            oversample=oversample,
+                            enrich_joins=enrich_joins)
     # SPARK_GRAFT_RESULTS_OUT lets a scale rehearsal (e.g. the sf1 run)
     # write its own artifact instead of clobbering the headline RESULTS.md
     out = os.environ.get("SPARK_GRAFT_RESULTS_OUT",
