@@ -260,7 +260,8 @@ def _split_eval(spark: SparkSession,
                 pretrain_epochs: int = 0,
                 pretrain_mode: str = "latency",
                 pretrain_censor_ms: float | None = None,
-                enrich: bool = False) -> dict[str, Any]:
+                enrich: bool = False,
+                pair_weighting: str = "none") -> dict[str, Any]:
     """Train on ``train``, score ``test``: returns the ranking losses,
     the argmin picks and the held-out second totals — one evaluation of
     one train/held-out split (the main split and every cross-validation
@@ -277,7 +278,8 @@ def _split_eval(spark: SparkSession,
         [(qid, [(c.plan, float(c.exec_time_ms)) for c in cands])
          for qid, cands in train], epochs=epochs, seed=seed,
         pretrain_epochs=pretrain_epochs, pretrain_mode=pretrain_mode,
-        pretrain_censor_ms=pretrain_censor_ms, feature_generator=fg)
+        pretrain_censor_ms=pretrain_censor_ms, feature_generator=fg,
+        pair_weighting=pair_weighting)
     rows = [(qid, i, c.to_bundle_json(), float(c.exec_time_ms))
             for qid, cands in test for i, c in enumerate(cands)]
     df = spark.createDataFrame(
@@ -314,6 +316,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                       skip_saturated: bool = False,
                       oversample: float = 2.0,
                       enrich_joins: bool = False,
+                      pair_weighting: str = "none",
                       ) -> dict[str, Any]:
     # (timeout-penalty labels are censored observations: excluded from
     # the pointwise pretrain set, kept for the pairwise ordering pass)
@@ -357,7 +360,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         train, test = bundles[:n_train], bundles[n_train:]
     main_eval = _split_eval(spark, train, test, epochs, seed,
                             pretrain_epochs, pretrain_mode, censor_ms,
-                            enrich=enrich_joins)
+                            enrich=enrich_joins,
+                            pair_weighting=pair_weighting)
     loss, wloss = main_eval["loss"], main_eval["wloss"]
     picked = main_eval["picked"]
 
@@ -377,7 +381,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             f_train = bundles[:lo] + bundles[hi:]
             ev = _split_eval(spark, f_train, f_test, epochs, seed,
                              pretrain_epochs, pretrain_mode, censor_ms,
-                             enrich=enrich_joins)
+                             enrich=enrich_joins,
+                             pair_weighting=pair_weighting)
             t = ev["totals"]
             gap = (round(100.0 * (t["chosen"] - t["best"]) / t["best"], 2)
                    if t["best"] > 0 else None)
@@ -488,7 +493,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
 
         dep_fg = EnrichedFeatureGenerator()
     deployment = run_deployment(spark, trains, valids, epochs=epochs,
-                                seed=seed, feature_generator=dep_fg)
+                                seed=seed, feature_generator=dep_fg,
+                                pair_weighting=pair_weighting)
 
     def tot(key: str) -> float:
         return round(sum(q[key] for q in per_query) / 1000.0, 4)
@@ -503,6 +509,7 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
         "pretrain": ({"epochs": pretrain_epochs, "mode": pretrain_mode}
                      if pretrain_epochs else None),
         "features": "enriched-joins" if enrich_joins else "base",
+        "pair_weighting": pair_weighting,
         "label_cache": {"enabled": cache_dir is not None,
                         "hits": cache_hits,
                         "misses": cache_lookups - cache_hits},
@@ -560,7 +567,10 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
            f"{res['pretrain']['epochs']} epochs"
            if res.get("pretrain") else "")
         + ("  |  features: realized-join enriched"
-           if res.get("features") == "enriched-joins" else ""),
+           if res.get("features") == "enriched-joins" else "")
+        + (f"  |  pairwise objective: consequence-weighted "
+           f"({res['pair_weighting']})"
+           if res.get("pair_weighting") not in (None, "none") else ""),
         "",
         "## Held-out totals (seconds, sum over test queries)",
         "",

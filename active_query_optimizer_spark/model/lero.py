@@ -120,13 +120,20 @@ class LeroModelPairWise(LeroModel):
     def fit_pairs(self, x1: list[VecNode], x2: list[VecNode],
                   y1: list[float], y2: list[float],
                   epochs: int = 100, batch_size: int = 64, lr: float = 1e-3,
-                  seed: int = 0) -> list[float]:
+                  seed: int = 0,
+                  weights: list[float] | None = None) -> list[float]:
         """(x1[i], x2[i]) are two candidate plans of the same query with
         true latencies (y1[i], y2[i]); label = 1.0 if y1 >= y2
-        (``model.py:238-241``)."""
+        (``model.py:238-241``). ``weights`` (optional, mean-1-normalized
+        by the caller) scale each pair's cross-entropy and gradient —
+        the consequence-weighted objective (round-11 q64-class
+        experiment): a pair whose mis-ordering costs 4x latency should
+        pull harder than a near-tie."""
         net = self._ensure_net()
         opt = Adam(net.params(), lr=lr)
         labels = (np.asarray(y1) >= np.asarray(y2)).astype(float)
+        w_all = (np.ones(len(x1)) if weights is None
+                 else np.asarray(weights, dtype=float))
         rng = np.random.default_rng(seed)
         losses = []
         for _ in range(epochs):
@@ -144,11 +151,13 @@ class LeroModelPairWise(LeroModel):
                 s2, _ = net.forward(f2, i2, n2)
                 p = _sigmoid(p_tmp - s2)
                 yb = labels[sel]
+                wb = w_all[sel]
                 eps = 1e-12
-                total += float(-(yb * np.log(p + eps)
-                                 + (1 - yb) * np.log(1 - p + eps)).mean())
+                total += float(-(wb * (yb * np.log(p + eps)
+                                       + (1 - yb) * np.log(1 - p + eps))
+                                 ).mean())
                 nb += 1
-                g = (p - yb) / len(sel)
+                g = wb * (p - yb) / len(sel)
                 net.backward(-g)        # side 2 (cached last)
                 _, _ = net.forward(f1, i1, n1)
                 net.backward(g)         # side 1 (re-forward to rebuild caches)
@@ -205,6 +214,7 @@ def train_pairwise_from_bundles(
         pretrain_mode: str = "latency",
         pretrain_censor_ms: float | None = None,
         feature_generator: FeatureGenerator | None = None,
+        pair_weighting: str = "none",
         ) -> LeroModelPairWise:
     """End-to-end: labeled bundles → fit FeatureGenerator → all-pairs →
     pairwise model (the ``training_pairwise`` orchestration,
@@ -232,7 +242,14 @@ def train_pairwise_from_bundles(
     ``feature_generator`` substitutes the featurizer (e.g.
     ``plans.enrich.EnrichedFeatureGenerator`` over realized-strategy
     refined trees — round-10 verdict #4); default is the reference's
-    base ``FeatureGenerator``."""
+    base ``FeatureGenerator``.
+
+    ``pair_weighting="latency_delta"`` weights each training pair by the
+    absolute difference of its two NORMALIZED latency labels
+    (mean-1-normalized across the pair set): a pair whose mis-ordering
+    costs 4x pulls harder than a near-tie, concentrating capacity on the
+    picks that dominate regret (the q64-class experiment). ``"none"``
+    replicates the reference's equal-weight objective."""
     plans = [p for _, cands in bundles for p, _ in cands]
     times = [t for _, cands in bundles for _, t in cands]
     fg = (feature_generator if feature_generator is not None
@@ -264,6 +281,16 @@ def train_pairwise_from_bundles(
             x2.append(fg.transform_tree(pb))
             y1.append(fg.label_norm.norm(ta))
             y2.append(fg.label_norm.norm(tb))
+    weights = None
+    if pair_weighting == "latency_delta" and x1:
+        w = np.abs(np.asarray(y1) - np.asarray(y2))
+        mean = float(w.mean())
+        # an all-tied pair set degenerates to equal weights rather than
+        # zeroing the gradient
+        weights = list(w / mean) if mean > 0 else None
+    elif pair_weighting != "none":
+        raise ValueError(f"unknown pair_weighting {pair_weighting!r}")
     if x1:
-        model.fit_pairs(x1, x2, y1, y2, epochs=epochs, seed=seed)
+        model.fit_pairs(x1, x2, y1, y2, epochs=epochs, seed=seed,
+                        weights=weights)
     return model

@@ -425,3 +425,28 @@ def test_pretrain_censor_excludes_penalty_labels():
         bundles, epochs=5, seed=5, pretrain_epochs=5,
         pretrain_mode="latency", pretrain_censor_ms=0.0)
     assert model2.net is not None
+
+
+def test_pair_weighting_latency_delta_learns_and_validates():
+    """Consequence-weighted pairwise objective (round-11 q64-class
+    experiment): 'latency_delta' weights each pair by the absolute delta
+    of its normalized latency labels. The weighted objective must still
+    learn the depth->latency signal, and an unknown mode must fail loudly."""
+    import pytest
+
+    bundles = _synthetic_bundles(n_queries=20, seed=9)
+    model = L.train_pairwise_from_bundles(bundles, epochs=30, seed=5,
+                                          pair_weighting="latency_delta")
+    correct = 0
+    for _, cands in bundles:
+        trees = [model.fg.transform_tree(p) for p, _ in cands]
+        scores = model.predict(trees)
+        correct += int(np.argmin(scores) == np.argmin([t for _, t in cands]))
+    assert correct >= 0.9 * len(bundles)
+    with pytest.raises(ValueError, match="pair_weighting"):
+        L.train_pairwise_from_bundles(bundles, epochs=1, seed=5,
+                                      pair_weighting="bogus")
+    # all-tied labels degrade to equal weights, not a zeroed gradient
+    tied = [("q0", [(bundles[0][1][0][0], 5.0), (bundles[0][1][1][0], 5.0)])]
+    L.train_pairwise_from_bundles(tied, epochs=1, seed=5,
+                                  pair_weighting="latency_delta")

@@ -57,6 +57,16 @@ def main() -> None:
     # PG-projected join ops with each candidate's recorded realized
     # strategy before featurization — same labels, richer features
     enrich_joins = os.environ.get("SPARK_GRAFT_ENRICH_JOINS") == "1"
+    # consequence-weighted pairwise objective. Default on after the
+    # round-11 A/B at sf0.1/288 (FEATURES_AB.md): total cross-fold
+    # regret 18.83 -> 3.08 s (-84%, every fold improved; the q64 pick
+    # that dominated fold 0 since round 8 is fixed), loss mean flat
+    # (0.1469 -> 0.1457). Trade-off accepted and documented: unweighted
+    # Spearman spread widens (0.0145 -> 0.0667) because near-tie pairs
+    # are deliberately down-weighted. SPARK_GRAFT_PAIR_WEIGHTING=none
+    # restores the reference's equal-weight objective.
+    pair_weighting = os.environ.get("SPARK_GRAFT_PAIR_WEIGHTING",
+                                    "latency_delta")
     spark = get_spark("aqo-results")
     spark.sparkContext.setLogLevel("ERROR")
     res = optimizer_results(spark, sf_dir, num_queries=num_queries,
@@ -68,7 +78,8 @@ def main() -> None:
                             probe_default_s=probe_default_s,
                             skip_saturated=skip_saturated,
                             oversample=oversample,
-                            enrich_joins=enrich_joins)
+                            enrich_joins=enrich_joins,
+                            pair_weighting=pair_weighting)
     # SPARK_GRAFT_RESULTS_OUT lets a scale rehearsal (e.g. the sf1 run)
     # write its own artifact instead of clobbering the headline RESULTS.md
     out = os.environ.get("SPARK_GRAFT_RESULTS_OUT",
