@@ -31,54 +31,23 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). ROUND-11 layout
-#: (steady-state cadence — the round-7 debt plan completed at round 10,
-#: PLANNED_LEFTOVERS is empty from round 10 on):
-#: - round-11 window (NOW FIRST): the 30 r07-tail entries the linter
-#:   flagged at round-11 assembly (age 4 — byte-for-byte the linter's
-#:   offender list, re-derived independently from the CORRECTNESS_r01–r10
-#:   union) + 20 spares from the head of the r08 window (age 3, breaching
-#:   at round 12; includes the bench-noise-flagged
-#:   ``quality_repetition_rules`` for a fresh driver reading);
-#: - remaining 30 r08-green entries: the round-12 window opens with these;
-#: - round-9 window (r9-green, due r13), then the round-10 window
-#:   (freshest, r10-green, due r14) at the very end.
+#: Driver-facing registration order (see module docstring). ROUND-12 layout
+#: (steady-state cadence):
+#: - round-12 window (NOW FIRST): the 30 r08-tail entries the linter
+#:   flagged at round-12 assembly (age 4 — byte-for-byte the linter's
+#:   offender list, re-derived from the CORRECTNESS_r01–r11 union) + 20
+#:   spares from the head of the r09 window (age 3, breaching at r13);
+#: - remaining 30 r09-green entries: the round-13 window opens with these;
+#: - round-10 window (r10-green, due r14), then the round-11 window
+#:   (freshest, r11-green, due r15) at the very end.
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
 #: sweep (``tools/driver_sim.py`` -> SWEEP_r*.json, sf0.01 + sf0.1)
 #: re-verifies the whole registry when operator source changes mid-round
 #: (see SWEEP_r*.json artifacts for the rounds where it ran).
 _DRIVER_ORDER = [
-    # ---- ROUND-11 WINDOW (50): the 30 r07-tail entries (age 4 — the
-    #      linter's round-11 offender list, verbatim) ...
-    "transitive_equijoin_count", "skew_salted_join_count",
-    "asof_join_events_orders", "range_join_value_bands",
-    "outer_join_count_per_customer", "in_subquery_count",
-    "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
-    "groupby_agg", "ann_lsh_bucketed", "ann_ivf_topk",
-    "coreset_select_embeddings", "dedup_minhash_lsh", "pack_sequences_budget",
-    "stream_sessionize_events", "embedding_kmeans_step",
-    "embedding_kmeans_two_steps", "stats_price_deciles_sketch",
-    "sample_stratified_sketch", "rollup_agg", "scan_filter_count",
-    "projection_join", "hash_join_count", "merge_join_count",
-    "nested_loop_theta_count", "self_join_count", "pred_or",
-    "semi_join_exists", "anti_join_not_exists",
-    #      ... the 20 spare slots (head of the r08 window, age 3,
-    #      breaching at round 12; quality_repetition_rules included here
-    #      after its 3.9x driver bench reading — load noise per the r10
-    #      verdict, fresh evidence wanted):
-    "cohort_retention_weekly", "cross_source_overlap",
-    "decontam_ngram_overlap", "dedup_fingerprint_survivors",
-    "embedding_dim_stats", "embedding_gram_upper", "embedding_norm_histogram",
-    "embedding_outlier_flags", "embedding_pca_project",
-    "embedding_quantize_int8", "event_funnel_steps", "events_anomaly_days",
-    "events_pivot_daily", "events_resample_hourly_gapfill", "knn_label_vote",
-    "multimodal_feature_extract", "multimodal_frame_sample",
-    "multimodal_resize_grid", "pii_flag_docs", "quality_repetition_rules",
-    # -------------- driver window boundary (50) --------------
-    # ---- remaining r08-green tail (30): age 3 now; the round-12 window
-    #      opens with exactly these 30 (+20 spares from the r09 window
-    #      below, due at r13).
+    # ---- ROUND-12 WINDOW (50): the 30 r08-tail entries (age 4 — the
+    #      linter's round-12 offender list, verbatim) ...
     "quality_token_freq_score", "sample_weighted_mix", "seq_length_histogram",
     "split_assign_hash", "stats_histogram_equiwidth",
     "stats_join_size_cm_sketch", "stats_join_size_exact",
@@ -92,16 +61,22 @@ _DRIVER_ORDER = [
     "decontam_substring_containment", "dedup_embedding_clusters",
     "dedup_minhash_clusters", "distinct_count", "docrank_neardup_pagerank",
     "embedding_lang_centroids", "events_first_touch",
-    # ---- ROUND-9 WINDOW (50, r9-green, due again at r13):
+    #      ... the 20 spare slots (head of the r09 window, age 3,
+    #      breaching at round 13):
     "events_unpivot_daily", "graph_triangle_count", "groupby_having",
     "grouping_sets_agg", "intersect_except_keys", "latest_order_per_customer",
     "min_projection_job_style", "pred_between", "pred_epoch_int",
     "pred_eq_neq", "pred_in", "pred_like", "pred_not_like",
     "pred_null_checks", "pred_range_ops", "pred_ts_literal",
     "scalar_subquery_small_qty", "stats_column_cardinalities_approx",
-    "stats_null_profile", "stats_price_deciles", "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier", "tpch_q18_large_orders",
+    "stats_null_profile", "stats_price_deciles",
+    # -------------- driver window boundary (50) --------------
+    # ---- remaining r09-green tail (30): age 3 now; the round-13 window
+    #      opens with exactly these 30 (+20 spares from the r10 window
+    #      below, due at r14).
+    "tpch_q10_returned_items", "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
     "tpch_q22_lapsed_high_balance", "tpch_q7_nation_volume",
     "upsert_snapshot_apply", "window_rolling_7day_avg", "basket_brand_pairs",
@@ -113,9 +88,7 @@ _DRIVER_ORDER = [
     "incremental_agg_maintenance", "join_bloom_prefilter_count",
     "order_gap_stats_per_customer", "orders_rfm_segments",
     "orders_yoy_monthly_growth",
-    # ---- ROUND-10 WINDOW (50, freshest — r10-green, due again at r14):
-    #      rotated to the tail after CORRECTNESS_r10.json landed green
-    #      (49 exact-hash + 1 rows-only-by-design, 0 failures).
+    # ---- ROUND-10 WINDOW (50, r10-green, due again at r14):
     "pareto_front_orders", "pricing_summary", "props_extract_sum",
     "quality_length_percent_rank", "sample_balanced_per_lang",
     "sample_stratified_proportional", "sample_temperature_mixture",
@@ -137,6 +110,29 @@ _DRIVER_ORDER = [
     "stats_topk_frequent_values", "stats_distinct_values",
     "stats_column_cardinalities", "plan_selection_argmin",
     "spearman_rank_corr", "stream_windowed_event_counts",
+    # ---- ROUND-11 WINDOW (50, freshest — r11-green, due again at
+    #      r15): rotated to the tail after CORRECTNESS_r11.json landed
+    #      green (44 exact-hash + 6 rows-only-by-design, 0 failures).
+    "transitive_equijoin_count", "skew_salted_join_count",
+    "asof_join_events_orders", "range_join_value_bands",
+    "outer_join_count_per_customer", "in_subquery_count",
+    "exchange_reuse_pairs", "sort_limit_topk", "window_topk_per_group",
+    "groupby_agg", "ann_lsh_bucketed", "ann_ivf_topk",
+    "coreset_select_embeddings", "dedup_minhash_lsh", "pack_sequences_budget",
+    "stream_sessionize_events", "embedding_kmeans_step",
+    "embedding_kmeans_two_steps", "stats_price_deciles_sketch",
+    "sample_stratified_sketch", "rollup_agg", "scan_filter_count",
+    "projection_join", "hash_join_count", "merge_join_count",
+    "nested_loop_theta_count", "self_join_count", "pred_or",
+    "semi_join_exists", "anti_join_not_exists", "cohort_retention_weekly",
+    "cross_source_overlap", "decontam_ngram_overlap",
+    "dedup_fingerprint_survivors", "embedding_dim_stats",
+    "embedding_gram_upper", "embedding_norm_histogram",
+    "embedding_outlier_flags", "embedding_pca_project",
+    "embedding_quantize_int8", "event_funnel_steps", "events_anomaly_days",
+    "events_pivot_daily", "events_resample_hourly_gapfill", "knn_label_vote",
+    "multimodal_feature_extract", "multimodal_frame_sample",
+    "multimodal_resize_grid", "pii_flag_docs", "quality_repetition_rules",
 ]
 
 
