@@ -165,13 +165,18 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
         print(f"labeling: q{r['id']} (kept {len(out)}/{num_queries})",
               file=sys.stderr, flush=True)
         try:
-            if probe_default_s is not None and not _probe_admits(
+            from ..plans.labelcache import _NOT_PREREAD
+
+            preread = _NOT_PREREAD
+            if probe_default_s is not None:
+                admits, preread = _probe_admits(
                     spark, r["sql"], strategies, timeout_s, sf_dir,
-                    cache_dir, probe_default_s):
-                skip_stats["probe_skipped"] += 1
-                print(f"labeling: q{r['id']} probe-skipped (default > "
-                      f"{probe_default_s}s)", file=sys.stderr, flush=True)
-                continue
+                    cache_dir, probe_default_s)
+                if not admits:
+                    skip_stats["probe_skipped"] += 1
+                    print(f"labeling: q{r['id']} probe-skipped (default > "
+                          f"{probe_default_s}s)", file=sys.stderr, flush=True)
+                    continue
             if cache_dir is not None:
                 from ..plans.labelcache import cached_label_query
 
@@ -181,7 +186,7 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
                 # live must count as a miss, not a hit)
                 cands, was_hit = cached_label_query(
                     spark, r["sql"], strategies, timeout_s, sf_dir,
-                    cache_dir)
+                    cache_dir, preread=preread)
                 hits += was_hit
             else:
                 cands = label_query(spark, r["sql"], strategies, timeout_s)
@@ -202,7 +207,8 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
                 from ..plans.labelcache import bundle_key, record_poisoned
 
                 key = bundle_key(r["sql"], strategies, timeout_s, sf_dir)
-                n = record_poisoned(cache_dir, key, error=str(e))
+                n = record_poisoned(cache_dir, key, error=str(e),
+                                    sql=r["sql"])
                 print(f"WARNING: q{r['id']} poison attempts: {n}",
                       file=sys.stderr)
             continue
@@ -223,34 +229,48 @@ def label_generated_workload(spark: SparkSession, sf_dir: str,
 def _is_saturated(cands: list[Candidate], timeout_s: float) -> bool:
     """True when every candidate carries the timeout-penalty label — the
     bundle has zero ranking signal (its truth side is constant, so the
-    tie-aware Spearman already NULLs it out of the loss)."""
+    tie-aware Spearman already NULLs it out of the loss). Labeled on the
+    explicit ``timed_out`` flag; legacy bundles cached before the flag
+    existed fall back to magnitude inference, which can misclassify a
+    REAL measurement landing inside the cancellation-escalation window
+    above the penalty threshold (round-12 advice #2 — why the flag)."""
     pen_ms = LABEL_TIMEOUT_PENALTY * timeout_s * 1000.0
-    return all(float(c.exec_time_ms) >= pen_ms for c in cands)
+    return all(
+        c.timed_out if c.timed_out is not None
+        else float(c.exec_time_ms) >= pen_ms
+        for c in cands)
 
 
 def _probe_admits(spark: SparkSession, sql: str,
                   strategies: tuple[str, ...], timeout_s: float | None,
                   sf_dir: str, cache_dir: str | None,
-                  probe_s: float) -> bool:
-    """Admission test for one generated query: True = proceed to full
-    labeling. Cached bundles and poison markers bypass the probe (their
-    admission was already paid for / is owned by the poison budget); a
-    never-seen query runs its default plan once under ``probe_s`` and the
-    outcome is cached when a cache is in use."""
+                  probe_s: float) -> tuple[bool, object]:
+    """Admission test for one generated query: ``(admits, preread)`` —
+    ``admits`` True = proceed to full labeling, ``preread`` is whatever
+    ``read_bundle`` returned here so the caller can hand it through to
+    ``cached_label_query`` instead of decompressing the bundle twice
+    (round-12 advice #4). Cached bundles and poison markers bypass the
+    probe (their admission was already paid for / is owned by the poison
+    budget); a never-seen query runs its default plan once under
+    ``probe_s`` and the outcome is cached — with its SQL, so the marker
+    survives future cache re-keys — when a cache is in use."""
+    from ..plans.labelcache import _NOT_PREREAD
+
     if cache_dir is not None:
         from ..plans.labelcache import (bundle_key, read_bundle,
                                         read_probe, record_probe)
 
         key = bundle_key(sql, strategies, timeout_s, sf_dir)
-        if read_bundle(cache_dir, key) is not None:
-            return True  # full bundle or poison marker owns this query
+        raw = read_bundle(cache_dir, key)
+        if raw is not None:
+            return True, raw  # full bundle or poison marker owns this query
         marker = read_probe(cache_dir, key, probe_s)
         if marker is not None:
-            return bool(marker["passed"])
+            return bool(marker["passed"]), raw
         ms = probe_default(spark, sql, probe_s)
-        record_probe(cache_dir, key, probe_s, ms is not None, ms)
-        return ms is not None
-    return probe_default(spark, sql, probe_s) is not None
+        record_probe(cache_dir, key, probe_s, ms is not None, ms, sql=sql)
+        return ms is not None, raw
+    return probe_default(spark, sql, probe_s) is not None, _NOT_PREREAD
 
 
 def _split_eval(spark: SparkSession,
@@ -569,7 +589,9 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
         + ("  |  features: realized-join enriched"
            if res.get("features") == "enriched-joins" else "")
         + (f"  |  pairwise objective: consequence-weighted "
-           f"({res['pair_weighting']})"
+           f"(`{res['pair_weighting']}` — NON-REFERENCE default, adopted "
+           f"after the round-11 A/B; the reference trains equal-weight "
+           f"pairs, restored by `SPARK_GRAFT_PAIR_WEIGHTING=none`)"
            if res.get("pair_weighting") not in (None, "none") else ""),
         "",
         "## Held-out totals (seconds, sum over test queries)",

@@ -138,6 +138,12 @@ class Candidate:
     #: whether the requested hint materialized in the executed plan
     #: (None for non-hint variants: default / rotations / conf knobs)
     hint_realized: bool | None = None
+    #: whether this label is the timeout penalty rather than a real
+    #: measurement (round-12 advice: a variant finishing inside the
+    #: cancellation-escalation window can legitimately MEASURE above the
+    #: penalty threshold, so magnitude inference misclassifies it; None
+    #: on bundles cached before the flag existed)
+    timed_out: bool | None = None
 
     def to_bundle_json(self) -> str:
         return to_pg_json(self.plan, self.exec_time_ms)
@@ -324,7 +330,7 @@ def label_query(spark: SparkSession, sql: str,
                     variant=cand.variant, sql=cand.sql,
                     fingerprint=cand.fingerprint, plan=cand.plan,
                     exec_time_ms=LABEL_TIMEOUT_PENALTY * timeout_s * 1000.0,
-                    conf=cand.conf))
+                    conf=cand.conf, timed_out=True))
                 continue
             executed = capture_plan(df, executed=True)
             realized = realized_join_strategies(df)
@@ -338,7 +344,8 @@ def label_query(spark: SparkSession, sql: str,
             fingerprint=fp, plan=executed, exec_time_ms=ms, conf=cand.conf,
             realized_joins=realized,
             hint_realized=(None if expect is None
-                           else bool(expect.intersection(realized)))))
+                           else bool(expect.intersection(realized))),
+            timed_out=False))
     return labeled
 
 

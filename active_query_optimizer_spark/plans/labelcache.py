@@ -220,6 +220,7 @@ def _encode(cands: list[Candidate]) -> list[dict]:
         "conf": c.conf,
         "realized_joins": list(c.realized_joins),
         "hint_realized": c.hint_realized,
+        "timed_out": c.timed_out,
     } for c in cands]
 
 
@@ -232,7 +233,9 @@ def _decode(rows: list[dict]) -> list[Candidate]:
             fingerprint=r["fingerprint"], plan=plan,
             exec_time_ms=r["exec_time_ms"], conf=dict(r["conf"]),
             realized_joins=tuple(r["realized_joins"]),
-            hint_realized=r["hint_realized"]))
+            hint_realized=r["hint_realized"],
+            # None on bundles cached before the flag existed (round 12)
+            timed_out=r.get("timed_out")))
     return out
 
 
@@ -255,31 +258,56 @@ def write_bundle(cache_dir: str, key: str, cands: list[Candidate]) -> None:
     _atomic_write(cache_dir, key, _encode(cands))
 
 
-def record_poisoned(cache_dir: str, key: str, error: str = "") -> int:
+def record_poisoned(cache_dir: str, key: str, error: str = "",
+                    sql: str | None = None) -> int:
     """Mark ``key`` poisoned (a zombie variant survived cancellation),
     incrementing its cross-run attempt count; returns the new count.
-    Reruns retry the query until ``MAX_POISON_ATTEMPTS`` is spent."""
+    Reruns retry the query until ``MAX_POISON_ATTEMPTS`` is spent.
+    ``sql`` (kept from the prior marker when the caller omits it) makes
+    the marker re-keyable across verified-benign labeling-code changes,
+    like ``record_probe``'s."""
     attempts = 1
     prior = read_bundle(cache_dir, key)
     if isinstance(prior, dict) and prior.get("poisoned"):
         attempts = int(prior.get("attempts", 1)) + 1
-    _atomic_write(cache_dir, key,
-                  {"poisoned": True, "attempts": attempts, "error": error})
+        if sql is None:
+            sql = prior.get("sql")
+    payload: dict = {"poisoned": True, "attempts": attempts, "error": error}
+    if sql is not None:
+        payload["sql"] = sql
+    _atomic_write(cache_dir, key, payload)
     return attempts
 
 
 def record_probe(cache_dir: str, key: str, probe_s: float,
-                 passed: bool, ms: float | None = None) -> None:
+                 passed: bool, ms: float | None = None,
+                 sql: str | None = None) -> None:
     """Persist the default-variant probe outcome for ``key`` (round-10
     verdict #2 — de-saturating the scale rehearsal): a query whose
     DEFAULT plan cannot finish within ``probe_s`` is generation-biased
     out of the workload BEFORE paying for full variant labeling, and the
     marker makes that decision free on every rerun. Keyed alongside the
     bundle (same code+data fingerprints), so a labeling-code or data
-    change re-probes."""
-    _atomic_write(cache_dir, f"{key}-probe",
-                  {"probe": True, "probe_s": probe_s,
-                   "passed": bool(passed), "ms": ms})
+    change re-probes. ``sql`` makes the marker re-keyable across
+    verified-benign labeling-code changes (round-12 advice: rekey runs
+    used to drop markers wholesale because, unlike bundles, they carried
+    no SQL to recompute their key from)."""
+    payload: dict = {"probe": True, "probe_s": probe_s,
+                     "passed": bool(passed), "ms": ms}
+    if sql is not None:
+        payload["sql"] = sql
+    _atomic_write(cache_dir, f"{key}-probe", payload)
+
+
+def clear_probe(cache_dir: str, key: str) -> bool:
+    """Remove ``key``'s probe marker if present — called once the full
+    bundle is cached (``read_bundle`` then owns admission, so the marker
+    is redundant; round-12 advice #4). True if a marker was removed."""
+    try:
+        os.remove(os.path.join(cache_dir, f"{key}-probe.json.gz"))
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def read_probe(cache_dir: str, key: str, probe_s: float):
@@ -306,10 +334,16 @@ def read_bundle(cache_dir: str, key: str):
     return raw
 
 
+#: sentinel distinguishing "caller did not pre-read the cache" from a
+#: pre-read that legitimately returned ``None`` (a cache miss)
+_NOT_PREREAD = object()
+
+
 def cached_label_query(spark: "SparkSession", sql: str,
                        strategies: tuple[str, ...],
                        timeout_s: float | None, sf_dir: str,
-                       cache_dir: str) -> tuple[list[Candidate], bool]:
+                       cache_dir: str,
+                       preread=_NOT_PREREAD) -> tuple[list[Candidate], bool]:
     """``label_query`` with a read-through, write-behind bundle cache.
     Hits rebuild the Candidate list from the stored bundle without
     touching the cluster; misses label live and persist the result. A
@@ -322,9 +356,13 @@ def cached_label_query(spark: "SparkSession", sql: str,
     came from the cache — a stored candidate list or an EXHAUSTED poison
     marker; an under-budget marker that relabels live is a miss (round-8
     advice: counting any existing file as a hit let RESULTS.md overstate
-    'N bundles from the committed label cache')."""
+    'N bundles from the committed label cache').
+
+    ``preread`` lets a caller that already called ``read_bundle`` for
+    this key (the probe admission path) hand the result through instead
+    of paying a second decompress+parse (round-12 advice #4)."""
     key = bundle_key(sql, strategies, timeout_s, sf_dir)
-    raw = read_bundle(cache_dir, key)
+    raw = read_bundle(cache_dir, key) if preread is _NOT_PREREAD else preread
     if isinstance(raw, list):
         return _decode(raw), True
     if isinstance(raw, dict) and raw.get("poisoned"):
@@ -333,9 +371,13 @@ def cached_label_query(spark: "SparkSession", sql: str,
         # under budget: fall through and retry live
     cands = label_query(spark, sql, strategies, timeout_s)
     write_bundle(cache_dir, key, cands)
+    # the probe marker (if any) is now redundant — the bundle owns
+    # admission from here on (round-12 advice #4)
+    clear_probe(cache_dir, key)
     return cands, False
 
 
 __all__ = ["cached_label_query", "write_bundle", "read_bundle",
-           "record_poisoned", "record_probe", "read_probe", "bundle_key",
-           "code_fingerprint", "data_fingerprint", "MAX_POISON_ATTEMPTS"]
+           "record_poisoned", "record_probe", "read_probe", "clear_probe",
+           "bundle_key", "code_fingerprint", "data_fingerprint",
+           "MAX_POISON_ATTEMPTS"]

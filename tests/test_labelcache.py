@@ -28,7 +28,7 @@ def _cand() -> Candidate:
                      fingerprint="fp1", plan=plan, exec_time_ms=123.5,
                      conf={"spark.sql.adaptive.enabled": "false"},
                      realized_joins=("ShuffledHashJoin",),
-                     hint_realized=True)
+                     hint_realized=True, timed_out=False)
 
 
 def test_bundle_key_sensitive_to_every_input(monkeypatch):
@@ -52,9 +52,16 @@ def test_candidate_roundtrip_exact():
     assert back.conf == c.conf
     assert back.realized_joins == c.realized_joins
     assert back.hint_realized is True
+    assert back.timed_out is False
     assert back.plan.preorder_ops() == c.plan.preorder_ops()
     assert back.plan.children[0].relation == "orders"
     assert back.plan.rows == 10.0 and back.plan.width == 2.0
+    # a pre-round-12 bundle row (no timed_out key) decodes to None —
+    # the "unknown, fall back to magnitude inference" sentinel
+    legacy = LC._encode([c])
+    del legacy[0]["timed_out"]
+    [lb] = LC._decode(legacy)
+    assert lb.timed_out is None
 
 
 def test_catalog_is_fingerprinted():
@@ -247,24 +254,71 @@ def test_probe_marker_roundtrip(tmp_path):
 
 def test_probe_admits_cached_paths_no_cluster(tmp_path):
     """Every cached admission decision must resolve without a
-    SparkSession: a stored bundle bypasses the probe entirely, and a
-    stored probe marker answers pass/fail directly."""
+    SparkSession: a stored bundle bypasses the probe entirely (and is
+    handed back as the preread so the caller never decompresses it a
+    second time — round-12 advice #4), and a stored probe marker answers
+    pass/fail directly."""
     from active_query_optimizer_spark.evaluation.results import _probe_admits
 
     cache = str(tmp_path)
     key = LC.bundle_key("SELECT 1", ("A",), 30.0, "/data/sf0.1")
     with gzip.open(os.path.join(cache, f"{key}.json.gz"), "wt") as fh:
         json.dump(LC._encode([_cand()]), fh)
-    assert _probe_admits(None, "SELECT 1", ("A",), 30.0, "/data/sf0.1",
-                         cache, 15.0) is True
+    admits, preread = _probe_admits(None, "SELECT 1", ("A",), 30.0,
+                                    "/data/sf0.1", cache, 15.0)
+    assert admits is True
+    # the preread IS the stored bundle: cached_label_query must resolve
+    # from it without re-reading (file removed to prove it)
+    os.remove(os.path.join(cache, f"{key}.json.gz"))
+    out, hit = LC.cached_label_query(None, "SELECT 1", ("A",), 30.0,
+                                     "/data/sf0.1", cache, preread=preread)
+    assert hit is True and len(out) == 1
     key2 = LC.bundle_key("SELECT 2", ("A",), 30.0, "/data/sf0.1")
     LC.record_probe(cache, key2, 15.0, False)
-    assert _probe_admits(None, "SELECT 2", ("A",), 30.0, "/data/sf0.1",
-                         cache, 15.0) is False
+    admits, preread = _probe_admits(None, "SELECT 2", ("A",), 30.0,
+                                    "/data/sf0.1", cache, 15.0)
+    assert admits is False and preread is None
     key3 = LC.bundle_key("SELECT 3", ("A",), 30.0, "/data/sf0.1")
     LC.record_probe(cache, key3, 15.0, True, ms=1.0)
-    assert _probe_admits(None, "SELECT 3", ("A",), 30.0, "/data/sf0.1",
-                         cache, 15.0) is True
+    admits, preread = _probe_admits(None, "SELECT 3", ("A",), 30.0,
+                                    "/data/sf0.1", cache, 15.0)
+    assert admits is True and preread is None
+
+
+def test_probe_marker_stores_sql_and_clears_on_bundle_write(tmp_path,
+                                                            monkeypatch):
+    """Round-12 advice: (a) probe markers record their SQL so a cache
+    re-key can migrate them instead of dropping paid-for admission
+    decisions; (b) once the full bundle is written the marker is deleted
+    — ``read_bundle`` owns admission from then on."""
+    cache = str(tmp_path)
+    sql = "SELECT 4"
+    key = LC.bundle_key(sql, ("A",), 30.0, "/data/sf0.1")
+    LC.record_probe(cache, key, 15.0, True, ms=2.0, sql=sql)
+    m = LC.read_probe(cache, key, 15.0)
+    assert m is not None and m["sql"] == sql
+    # miss path labels live (stubbed) and must clear the marker
+    monkeypatch.setattr(LC, "label_query",
+                        lambda *a, **k: [_cand()])
+    out, hit = LC.cached_label_query(None, sql, ("A",), 30.0,
+                                     "/data/sf0.1", cache)
+    assert hit is False and len(out) == 1
+    assert LC.read_probe(cache, key, 15.0) is None
+    assert not os.path.exists(os.path.join(cache, f"{key}-probe.json.gz"))
+    # clear_probe is a no-op (False) when no marker exists
+    assert LC.clear_probe(cache, key) is False
+
+
+def test_poison_marker_keeps_sql_across_attempts(tmp_path):
+    """``record_poisoned`` persists the SQL (for re-keying) and keeps it
+    when a later attempt omits it."""
+    cache = str(tmp_path)
+    LC.record_poisoned(cache, "k1", error="zombie", sql="SELECT 5")
+    raw = LC.read_bundle(cache, "k1")
+    assert raw["sql"] == "SELECT 5" and raw["attempts"] == 1
+    LC.record_poisoned(cache, "k1", error="zombie again")
+    raw = LC.read_bundle(cache, "k1")
+    assert raw["sql"] == "SELECT 5" and raw["attempts"] == 2
 
 
 def test_code_fingerprint_of_matches_live_fingerprint():

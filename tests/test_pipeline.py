@@ -269,13 +269,27 @@ def test_probe_and_saturation_bias_in_labeling_loop(spark, monkeypatch):
     assert all(not R._is_saturated(cs, 1.0) for _, cs in bundles)
     assert stats["probe_skipped"] >= 1
     assert stats["saturated_skipped"] >= 1
-    # saturation predicate itself
+    # saturation predicate itself (legacy bundles: magnitude inference)
     sat = [Candidate("default", "s", "f1", None, exec_time_ms=pen_ms),
            Candidate("rot1", "s", "f2", None, exec_time_ms=pen_ms)]
     assert R._is_saturated(sat, 1.0)
     assert not R._is_saturated(
         sat[:1] + [Candidate("rot1", "s", "f3", None, exec_time_ms=1.0)],
         1.0)
+    # round-12 advice #2: the explicit timed_out flag beats magnitude
+    # inference — a REAL measurement that finished inside the
+    # cancellation-escalation window can land above the penalty
+    # threshold and must NOT be classified as saturated
+    real_slow = [Candidate("default", "s", "f4", None,
+                           exec_time_ms=pen_ms + 123.0, timed_out=False),
+                 Candidate("rot1", "s", "f5", None,
+                           exec_time_ms=pen_ms, timed_out=True)]
+    assert not R._is_saturated(real_slow, 1.0)
+    assert R._is_saturated(
+        [Candidate("default", "s", "f6", None, exec_time_ms=pen_ms,
+                   timed_out=True),
+         # flag unknown (legacy row) at the penalty magnitude: inferred
+         Candidate("rot1", "s", "f7", None, exec_time_ms=pen_ms)], 1.0)
 
 
 def test_optimizer_results_regenerate_sf001(spark, tmp_path):

@@ -345,6 +345,8 @@ def test_label_query_realized_strategies(spark):
             assert c.hint_realized is True, (c.variant, c.realized_joins)
         else:
             assert c.hint_realized is None
+    # real measurements carry the explicit not-timed-out flag
+    assert all(c.timed_out is False for c in labeled)
 
 
 def test_label_query_timeout_penalty(spark):
@@ -369,6 +371,9 @@ def test_label_query_timeout_penalty(spark):
     penalty_ms = EX.LABEL_TIMEOUT_PENALTY * 3.0 * 1000.0
     assert all(c.exec_time_ms == penalty_ms for c in labeled), (
         [(c.variant, c.exec_time_ms) for c in labeled])
+    # the explicit flag distinguishes a penalty label from a real
+    # measurement that happens to exceed the threshold (round-12 advice)
+    assert all(c.timed_out is True for c in labeled)
     # bounded: variants x timeout plus planning slack
     assert wall < 3.0 * len(labeled) + 60, wall
     # and the session is still healthy for normal queries afterwards

@@ -11,10 +11,14 @@ unchanged in git since the cache files' last commit; pass
 
 For every stored candidate-list bundle, the query SQL is recovered from
 its ``default`` variant (``plan_variants`` always emits one) and the
-bundle is re-written under the CURRENT ``bundle_key``. Poison markers
-cannot be re-keyed (they store no SQL) and are dropped — their retry
-budget resets, which is the conservative direction. Old-key files are
-removed so the cache directory stays one-file-per-bundle.
+bundle is re-written under the CURRENT ``bundle_key``. Probe and poison
+markers recorded with their SQL (round 12 on) re-key the same way —
+probe markers keep their ``-probe`` key suffix, and one whose full
+bundle already exists is dropped as redundant. Legacy SQL-less markers
+are left IN PLACE (unreachable under the new fingerprint, but each
+records a paid-for bounded execution — round-12 advice: never delete
+them wholesale). Old-key files are removed so the cache directory stays
+one-file-per-bundle.
 
 The committed cache mixes bundles measured under DIFFERENT
 (sf_dir, timeout) configurations — sf0.1/30 s plus the sf1 rehearsal's
@@ -49,7 +53,11 @@ Usage::
 
     python tools/rekey_label_cache.py [--dry-run] \
         [--known SF_DIR:TIMEOUT ...] [--orphans-from SF_DIR:TIMEOUT] \
-        [--legacy-code-rev REV --force-code-ok]
+        [--legacy-code-rev REV --force-code-ok] [--cache-dir DIR]
+
+Run it twice after a fingerprint change: the first pass migrates
+bundles and markers; the second garbage-collects probe markers whose
+bundle landed at the new key after the marker was processed.
 """
 
 from __future__ import annotations
@@ -106,16 +114,18 @@ def _parse_config(arg: str) -> tuple[str, float]:
     return os.path.normpath(sf_dir), float(timeout)
 
 
-def main() -> None:
-    dry = "--dry-run" in sys.argv
-    force = "--force-code-ok" in sys.argv
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    dry = "--dry-run" in argv
+    force = "--force-code-ok" in argv
     cache_dir = os.path.join(REPO, ".label_cache")
     configs = list(_KNOWN_CONFIGS)
     orphans_from: tuple[str, float] | None = None
     legacy_code_fp: str | None = None
-    argv = sys.argv[1:]
     for i, a in enumerate(argv):
-        if a == "--known":
+        if a == "--cache-dir":
+            cache_dir = argv[i + 1]
+        elif a == "--known":
             configs.append(_parse_config(argv[i + 1]))
         elif a == "--orphans-from":
             orphans_from = _parse_config(argv[i + 1])
@@ -147,10 +157,83 @@ def main() -> None:
 
     moved = skipped_current = dropped = 0
     orphans: list[str] = []
+    marker_orphans: list[str] = []
+
+    def provenance(sql: str, old_key: str, suffix: str = ""):
+        """Classify ``old_key`` for ``sql``: ``"current"`` (already the
+        live key under a known configuration), a ``(sf_dir, timeout)``
+        pair (keyed under a KNOWN legacy schema — the key match itself
+        establishes the measurement provenance), or ``None`` (unknown).
+        ``suffix`` handles probe markers, keyed ``<bundle_key>-probe``."""
+        if any(LC.bundle_key(sql, HINT_STRATEGIES, t, d) + suffix
+               == old_key for d, t in configs):
+            return "current"
+        cfg = next(
+            ((d, t) for d, t in configs
+             if LC.bundle_key_legacy_v1(sql, HINT_STRATEGIES, t, d)
+             + suffix == old_key), None)
+        if cfg is None and legacy_code_fp is not None:
+            # keyed under the verified historical code fingerprint
+            cfg = next(
+                ((d, t) for d, t in configs
+                 if LC.bundle_key_at_code(sql, HINT_STRATEGIES, t, d,
+                                          legacy_code_fp) + suffix
+                 == old_key), None)
+        return cfg
+
     for path in sorted(glob.glob(os.path.join(cache_dir, "*.json.gz"))):
         old_key = os.path.basename(path)[: -len(".json.gz")]
         with gzip.open(path, "rt") as fh:
             raw = json.load(fh)
+        if isinstance(raw, dict) and (raw.get("probe")
+                                      or raw.get("poisoned")):
+            # probe/poison markers are paid-for state (each probe cost a
+            # bounded default-plan execution; each poison attempt a full
+            # cancellation escalation) — round-12 advice: never drop them
+            # wholesale. Markers recorded with their SQL re-key exactly
+            # like bundles; legacy SQL-less ones are left in place
+            # (unreachable under the new fingerprint, but preserved).
+            suffix = "-probe" if raw.get("probe") else ""
+            sql = raw.get("sql")
+            if sql is None:
+                marker_orphans.append(old_key)
+                continue
+            prov = provenance(sql, old_key, suffix)
+            if prov is None and orphans_from is None:
+                marker_orphans.append(old_key)
+                continue
+            d, t = ((None, None) if prov == "current"
+                    else prov if prov is not None else orphans_from)
+            new_key = (old_key if prov == "current"
+                       else LC.bundle_key(sql, HINT_STRATEGIES, t, d)
+                       + suffix)
+            if suffix:
+                # a probe marker whose full bundle exists is redundant —
+                # read_bundle owns admission from then on
+                base = new_key[: -len(suffix)]
+                if os.path.exists(os.path.join(cache_dir,
+                                               f"{base}.json.gz")):
+                    print(f"drop (bundle supersedes probe): {old_key}")
+                    dropped += 1
+                    if not dry:
+                        os.remove(path)
+                    continue
+            if prov == "current":
+                skipped_current += 1
+                continue
+            target = os.path.join(cache_dir, f"{new_key}.json.gz")
+            if os.path.exists(target):
+                # a fresher marker already lives at the new key
+                print(f"drop (target marker exists): {old_key}")
+                dropped += 1
+                if not dry:
+                    os.remove(path)
+                continue
+            if not dry:
+                LC._atomic_write(cache_dir, new_key, raw)
+                os.remove(path)
+            moved += 1
+            continue
         if not isinstance(raw, list) or not raw:
             print(f"drop (no SQL to re-key): {old_key}")
             dropped += 1
@@ -165,31 +248,15 @@ def main() -> None:
             if not dry:
                 os.remove(path)
             continue
-        # current under ANY known configuration => leave untouched
-        if any(LC.bundle_key(sql, HINT_STRATEGIES, t, d) == old_key
-               for d, t in configs):
+        prov = provenance(sql, old_key)
+        if prov == "current":
             skipped_current += 1
             continue
-        # keyed under a KNOWN LEGACY schema for a known configuration:
-        # provenance is established by the key match itself — migrate to
-        # the current key under the SAME (sf_dir, timeout)
-        legacy_cfg = next(
-            ((d, t) for d, t in configs
-             if LC.bundle_key_legacy_v1(sql, HINT_STRATEGIES, t, d)
-             == old_key), None)
-        if legacy_cfg is None and legacy_code_fp is not None:
-            # keyed under the verified historical code fingerprint: the
-            # key match establishes (sf_dir, timeout) provenance
-            legacy_cfg = next(
-                ((d, t) for d, t in configs
-                 if LC.bundle_key_at_code(sql, HINT_STRATEGIES, t, d,
-                                          legacy_code_fp) == old_key),
-                None)
-        if legacy_cfg is None and orphans_from is None:
+        if prov is None and orphans_from is None:
             # unknown schema: provenance must be explicit
             orphans.append(old_key)
             continue
-        d, t = legacy_cfg if legacy_cfg is not None else orphans_from
+        d, t = prov if prov is not None else orphans_from
         new_key = LC.bundle_key(sql, HINT_STRATEGIES, t, d)
         target = os.path.join(cache_dir, f"{new_key}.json.gz")
         if os.path.exists(target):
@@ -201,8 +268,15 @@ def main() -> None:
             os.remove(path)
         moved += 1
     print(f"re-keyed {moved}, already-current {skipped_current}, "
-          f"dropped {dropped}, orphans-left {len(orphans)}"
+          f"dropped {dropped}, orphans-left {len(orphans)}, "
+          f"marker-orphans-left {len(marker_orphans)}"
           f"{' (dry run)' if dry else ''}")
+    if marker_orphans:
+        print("marker orphans (probe/poison markers left IN PLACE — "
+              "legacy SQL-less payloads or unknown provenance; they are "
+              "unreachable under the current fingerprint but preserved):")
+        for k in marker_orphans:
+            print(f"  {k}")
     if orphans and orphans_from is None:
         print("orphans (pass --orphans-from SF_DIR:TIMEOUT with their "
               "measurement provenance to move them):")
