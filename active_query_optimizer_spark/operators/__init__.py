@@ -31,49 +31,23 @@ for _mod in ("dedup", "similarity", "text", "multimodal", "statsops",
         if e.name != f"{__name__}.{_mod}":
             raise
 
-#: Driver-facing registration order (see module docstring). ROUND-12 layout
+#: Driver-facing registration order (see module docstring). ROUND-13 layout
 #: (steady-state cadence):
-#: - round-12 window (NOW FIRST): the 30 r08-tail entries the linter
-#:   flagged at round-12 assembly (age 4 — byte-for-byte the linter's
-#:   offender list, re-derived from the CORRECTNESS_r01–r11 union) + 20
-#:   spares from the head of the r09 window (age 3, breaching at r13);
-#: - remaining 30 r09-green entries: the round-13 window opens with these;
-#: - round-10 window (r10-green, due r14), then the round-11 window
-#:   (freshest, r11-green, due r15) at the very end.
+#: - round-13 window (NOW FIRST): the 30 r09-tail entries the linter
+#:   flagged at round-13 assembly (age 4 — byte-for-byte the linter's
+#:   offender list, re-derived from the CORRECTNESS_r01–r12 union) + 20
+#:   spares from the head of the r10 window (age 3, breaching at r14);
+#: - remaining 30 r10-green entries: the round-14 window opens with these;
+#: - round-11 window (r11-green, due r15), then the round-12 window
+#:   (freshest, r12-green, due r16) at the very end.
 #: The 50-entry window is an observed driver behavior, treated as
 #: best-effort: entries past it keep their prior-round rows and the local
 #: sweep (``tools/driver_sim.py`` -> SWEEP_r*.json, sf0.01 + sf0.1)
 #: re-verifies the whole registry when operator source changes mid-round
 #: (see SWEEP_r*.json artifacts for the rounds where it ran).
 _DRIVER_ORDER = [
-    # ---- ROUND-12 WINDOW (50): the 30 r08-tail entries (age 4 — the
-    #      linter's round-12 offender list, verbatim) ...
-    "quality_token_freq_score", "sample_weighted_mix", "seq_length_histogram",
-    "split_assign_hash", "stats_histogram_equiwidth",
-    "stats_join_size_cm_sketch", "stats_join_size_exact",
-    "stats_key_skew_profile", "stats_length_percentiles",
-    "stream_conversion_attribution", "tfidf_top_terms_per_source",
-    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
-    "union_distinct_keys", "window_running_total", "ann_ivf_pq_topk",
-    "broadcast_join_count", "case_when_bucket_agg",
-    "cluster_centroid_vectors", "count_min_multi_agg", "cube_agg",
-    "date_trunc_monthly", "datetime_parts_agg",
-    "decontam_substring_containment", "dedup_embedding_clusters",
-    "dedup_minhash_clusters", "distinct_count", "docrank_neardup_pagerank",
-    "embedding_lang_centroids", "events_first_touch",
-    #      ... the 20 spare slots (head of the r09 window, age 3,
-    #      breaching at round 13):
-    "events_unpivot_daily", "graph_triangle_count", "groupby_having",
-    "grouping_sets_agg", "intersect_except_keys", "latest_order_per_customer",
-    "min_projection_job_style", "pred_between", "pred_epoch_int",
-    "pred_eq_neq", "pred_in", "pred_like", "pred_not_like",
-    "pred_null_checks", "pred_range_ops", "pred_ts_literal",
-    "scalar_subquery_small_qty", "stats_column_cardinalities_approx",
-    "stats_null_profile", "stats_price_deciles",
-    # -------------- driver window boundary (50) --------------
-    # ---- remaining r09-green tail (30): age 3 now; the round-13 window
-    #      opens with exactly these 30 (+20 spares from the r10 window
-    #      below, due at r14).
+    # ---- ROUND-13 WINDOW (50): the 30 r09-tail entries (age 4 — the
+    #      linter's round-13 offender list, verbatim) ...
     "tpch_q10_returned_items", "tpch_q12_shipmode_priority",
     "tpch_q13_customer_distribution", "tpch_q14_promo_share",
     "tpch_q15_top_supplier", "tpch_q18_large_orders",
@@ -88,7 +62,8 @@ _DRIVER_ORDER = [
     "incremental_agg_maintenance", "join_bloom_prefilter_count",
     "order_gap_stats_per_customer", "orders_rfm_segments",
     "orders_yoy_monthly_growth",
-    # ---- ROUND-10 WINDOW (50, r10-green, due again at r14):
+    #      ... the 20 spare slots (head of the r10 window, age 3,
+    #      breaching at round 14):
     "pareto_front_orders", "pricing_summary", "props_extract_sum",
     "quality_length_percent_rank", "sample_balanced_per_lang",
     "sample_stratified_proportional", "sample_temperature_mixture",
@@ -97,6 +72,10 @@ _DRIVER_ORDER = [
     "stats_median_disc_per_group", "stats_reservoir_sample_profile",
     "stats_revenue_gini", "text_chunk_overlap", "text_edit_distance_pairs",
     "text_quality_scores", "text_token_stats", "text_vocab_stats",
+    # -------------- driver window boundary (50) --------------
+    # ---- remaining r10-green tail (30): age 3 now; the round-14 window
+    #      opens with exactly these 30 (+20 spares from the r11 window
+    #      below, due at r15).
     "tpch_q11_important_parts", "tpch_q16_supplier_variety",
     "tpch_q20_promo_volume_suppliers", "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
@@ -110,9 +89,7 @@ _DRIVER_ORDER = [
     "stats_topk_frequent_values", "stats_distinct_values",
     "stats_column_cardinalities", "plan_selection_argmin",
     "spearman_rank_corr", "stream_windowed_event_counts",
-    # ---- ROUND-11 WINDOW (50, freshest — r11-green, due again at
-    #      r15): rotated to the tail after CORRECTNESS_r11.json landed
-    #      green (44 exact-hash + 6 rows-only-by-design, 0 failures).
+    # ---- ROUND-11 WINDOW (50, r11-green, due again at r15):
     "transitive_equijoin_count", "skew_salted_join_count",
     "asof_join_events_orders", "range_join_value_bands",
     "outer_join_count_per_customer", "in_subquery_count",
@@ -133,6 +110,29 @@ _DRIVER_ORDER = [
     "events_pivot_daily", "events_resample_hourly_gapfill", "knn_label_vote",
     "multimodal_feature_extract", "multimodal_frame_sample",
     "multimodal_resize_grid", "pii_flag_docs", "quality_repetition_rules",
+    # ---- ROUND-12 WINDOW (50, freshest — r12-green, due again at
+    #      r16): rotated to the tail after CORRECTNESS_r12.json landed
+    #      green (48 exact-hash + 2 rows-only-by-design, 0 failures).
+    "quality_token_freq_score", "sample_weighted_mix", "seq_length_histogram",
+    "split_assign_hash", "stats_histogram_equiwidth",
+    "stats_join_size_cm_sketch", "stats_join_size_exact",
+    "stats_key_skew_profile", "stats_length_percentiles",
+    "stream_conversion_attribution", "tfidf_top_terms_per_source",
+    "tpch_q3_shipping_priority", "tpch_q5_region_volume",
+    "union_distinct_keys", "window_running_total", "ann_ivf_pq_topk",
+    "broadcast_join_count", "case_when_bucket_agg",
+    "cluster_centroid_vectors", "count_min_multi_agg", "cube_agg",
+    "date_trunc_monthly", "datetime_parts_agg",
+    "decontam_substring_containment", "dedup_embedding_clusters",
+    "dedup_minhash_clusters", "distinct_count", "docrank_neardup_pagerank",
+    "embedding_lang_centroids", "events_first_touch",
+    "events_unpivot_daily", "graph_triangle_count", "groupby_having",
+    "grouping_sets_agg", "intersect_except_keys", "latest_order_per_customer",
+    "min_projection_job_style", "pred_between", "pred_epoch_int",
+    "pred_eq_neq", "pred_in", "pred_like", "pred_not_like",
+    "pred_null_checks", "pred_range_ops", "pred_ts_literal",
+    "scalar_subquery_small_qty", "stats_column_cardinalities_approx",
+    "stats_null_profile", "stats_price_deciles",
 ]
 
 
