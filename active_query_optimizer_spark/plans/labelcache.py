@@ -302,7 +302,12 @@ def record_probe(cache_dir: str, key: str, probe_s: float,
 def clear_probe(cache_dir: str, key: str) -> bool:
     """Remove ``key``'s probe marker if present — called once the full
     bundle is cached (``read_bundle`` then owns admission, so the marker
-    is redundant; round-12 advice #4). True if a marker was removed."""
+    is redundant; round-12 advice #4). True if a marker was removed.
+
+    A crash between ``write_bundle`` and this call leaves a redundant
+    marker behind; that is harmless (``read_bundle`` wins admission once
+    the bundle exists) and the rekey tool's second pass garbage-collects
+    it. Callers therefore need no ordering guarantees here."""
     try:
         os.remove(os.path.join(cache_dir, f"{key}-probe.json.gz"))
         return True

@@ -114,6 +114,73 @@ def test_markers_with_sql_migrate_and_sqlless_are_preserved(tmp_path):
     assert (cache / "deadbeef-probe.json.gz").exists()
 
 
+def test_empty_list_is_a_marker_orphan_not_deleted(tmp_path):
+    """Round-12 advice (r13 item #1): ``[]`` is what ``read_bundle``
+    treats as a poison marker with one retry attempt spent — the tool
+    must leave it in place as a SQL-less marker orphan, not delete it
+    via the 'no SQL to re-key' branch."""
+    rk = _load_tool()
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    import gzip
+    import json
+
+    with gzip.open(cache / "oldkey.json.gz", "wt") as fh:
+        json.dump([], fh)
+    rk.main(["--cache-dir", str(cache), "--force-code-ok"])
+    assert (cache / "oldkey.json.gz").exists()
+
+
+def test_bundle_replaces_poison_marker_at_target(tmp_path):
+    """Round-13 advice item #2: when a SQL-bearing poison marker migrates
+    to the current key before the genuine candidate-list bundle for the
+    same (sql, config) is processed, the bundle must replace the marker
+    at the target — not be stranded at the old key."""
+    from active_query_optimizer_spark.plans import labelcache as LC
+    from active_query_optimizer_spark.plans.explore import HINT_STRATEGIES
+
+    rk = _load_tool()
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "t.parquet").write_bytes(
+        bytes(range(256)) * (3 * 65536 // 256))
+    sql = "SELECT 4 FROM t"
+    leg = LC.bundle_key_legacy_v1(sql, HINT_STRATEGIES, 30.0, str(sf))
+    cur = LC.bundle_key(sql, HINT_STRATEGIES, 30.0, str(sf))
+    import gzip
+    import json
+
+    bundle = [{"variant": "default", "sql": sql, "fingerprint": "f",
+               "plan_json": "{}", "exec_time_ms": 1.0, "conf": {},
+               "realized_joins": [], "hint_realized": None}]
+
+    def put(key: str, payload) -> None:
+        with gzip.open(cache / f"{key}.json.gz", "wt") as fh:
+            json.dump(payload, fh)
+
+    # the poison marker already sits at the CURRENT key (as if it
+    # migrated earlier in the pass); the real bundle is still at the
+    # legacy key and sorts after it in directory order
+    put(cur, {"poisoned": True, "attempts": 1, "error": "z", "sql": sql})
+    put(leg, bundle)
+    rk.main(["--cache-dir", str(cache), "--known", f"{sf}:30",
+             "--force-code-ok"])
+    assert not (cache / f"{leg}.json.gz").exists()
+    raw = LC.read_bundle(str(cache), cur)
+    assert isinstance(raw, list) and raw[0]["sql"] == sql
+
+
+def test_flag_parsing_rejects_missing_value():
+    """Round-13 advice item #3: a flag without its value must error
+    cleanly (argparse), not raise IndexError."""
+    rk = _load_tool()
+    with pytest.raises(SystemExit) as exc:
+        rk.main(["--cache-dir"])
+    assert exc.value.code == 2
+
+
 def test_marker_migration_is_idempotent_and_dry_run_safe(tmp_path):
     """A --dry-run over a marker-bearing cache must not touch a file."""
     from active_query_optimizer_spark.plans import labelcache as LC

@@ -37,8 +37,14 @@ silently move labels onto keys claiming a different dataset/deadline
 * only moves other ORPHANS (files matching no known schema at all) when
   ``--orphans-from SF_DIR:TIMEOUT`` states their measurement provenance
   explicitly; without that flag orphans are listed and left in place;
-* never overwrites an existing target file (a valid same-SQL bundle
-  under the new key wins over the orphan being moved).
+* never overwrites an existing candidate-list bundle at the target key
+  (a valid same-SQL bundle under the new key wins over the orphan being
+  moved) — but a migrating candidate-list bundle DOES replace a poison
+  marker occupying its target (a marker that migrated earlier in the
+  same pass must not strand the real measurements at the old key);
+* treats the empty-list payload (``[]``) as what ``read_bundle`` takes
+  it for — a SQL-less poison marker with one retry attempt spent — and
+  leaves it in place as a marker orphan instead of deleting it.
 
 * auto-migrates bundles keyed under a HISTORICAL code fingerprint when
   ``--legacy-code-rev REV`` names the git revision whose labeling
@@ -62,6 +68,7 @@ bundle landed at the new key after the marker was processed.
 
 from __future__ import annotations
 
+import argparse
 import glob
 import gzip
 import json
@@ -115,35 +122,42 @@ def _parse_config(arg: str) -> tuple[str, float]:
 
 
 def main(argv: list[str] | None = None) -> None:
-    argv = sys.argv[1:] if argv is None else argv
-    dry = "--dry-run" in argv
-    force = "--force-code-ok" in argv
-    cache_dir = os.path.join(REPO, ".label_cache")
+    parser = argparse.ArgumentParser(
+        description="Re-key committed label-cache bundles after a "
+                    "bundle_key schema change (see module docstring).")
+    parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--force-code-ok", action="store_true")
+    parser.add_argument("--cache-dir",
+                        default=os.path.join(REPO, ".label_cache"))
+    parser.add_argument("--known", action="append", default=[],
+                        metavar="SF_DIR:TIMEOUT")
+    parser.add_argument("--orphans-from", metavar="SF_DIR:TIMEOUT")
+    parser.add_argument("--legacy-code-rev", metavar="REV")
+    opts = parser.parse_args(sys.argv[1:] if argv is None else argv)
+    dry = opts.dry_run
+    force = opts.force_code_ok
+    cache_dir = opts.cache_dir
     configs = list(_KNOWN_CONFIGS)
+    configs.extend(_parse_config(a) for a in opts.known)
     orphans_from: tuple[str, float] | None = None
+    if opts.orphans_from:
+        orphans_from = _parse_config(opts.orphans_from)
+        configs.append(orphans_from)
     legacy_code_fp: str | None = None
-    for i, a in enumerate(argv):
-        if a == "--cache-dir":
-            cache_dir = argv[i + 1]
-        elif a == "--known":
-            configs.append(_parse_config(argv[i + 1]))
-        elif a == "--orphans-from":
-            orphans_from = _parse_config(argv[i + 1])
-            configs.append(orphans_from)
-        elif a == "--legacy-code-rev":
-            rev = argv[i + 1]
-            pkg = "active_query_optimizer_spark"
-            sources = {}
-            for rel in LC._FINGERPRINT_FILES:
-                blob = subprocess.run(
-                    ["git", "show", f"{rev}:{pkg}/{rel}"],
-                    cwd=REPO, capture_output=True)
-                if blob.returncode != 0:
-                    sys.exit(f"cannot read {pkg}/{rel} at {rev}")
-                sources[rel] = blob.stdout
-            legacy_code_fp = LC.code_fingerprint_of(sources)
-            print(f"legacy code fingerprint at {rev}: {legacy_code_fp} "
-                  f"(current: {LC.code_fingerprint()})")
+    if opts.legacy_code_rev:
+        rev = opts.legacy_code_rev
+        pkg = "active_query_optimizer_spark"
+        sources = {}
+        for rel in LC._FINGERPRINT_FILES:
+            blob = subprocess.run(
+                ["git", "show", f"{rev}:{pkg}/{rel}"],
+                cwd=REPO, capture_output=True)
+            if blob.returncode != 0:
+                sys.exit(f"cannot read {pkg}/{rel} at {rev}")
+            sources[rel] = blob.stdout
+        legacy_code_fp = LC.code_fingerprint_of(sources)
+        print(f"legacy code fingerprint at {rev}: {legacy_code_fp} "
+              f"(current: {LC.code_fingerprint()})")
     # data_fingerprint only works for directories that still exist (the
     # sf1 rehearsal dir is gitignored and regenerable — if it was
     # regenerated since the labels were measured, its bundles show up as
@@ -234,7 +248,14 @@ def main(argv: list[str] | None = None) -> None:
                 os.remove(path)
             moved += 1
             continue
-        if not isinstance(raw, list) or not raw:
+        if isinstance(raw, list) and not raw:
+            # an empty list IS a poison marker to read_bundle (one retry
+            # attempt already spent) — paid-for state like the dict
+            # markers above; it carries no SQL, so leave it in place as
+            # a marker orphan rather than deleting it
+            marker_orphans.append(old_key)
+            continue
+        if not isinstance(raw, list):
             print(f"drop (no SQL to re-key): {old_key}")
             dropped += 1
             if not dry:
@@ -260,6 +281,19 @@ def main(argv: list[str] | None = None) -> None:
         new_key = LC.bundle_key(sql, HINT_STRATEGIES, t, d)
         target = os.path.join(cache_dir, f"{new_key}.json.gz")
         if os.path.exists(target):
+            with gzip.open(target, "rt") as fh:
+                existing = json.load(fh)
+            if isinstance(existing, dict) or existing == []:
+                # a poison marker (dict, or the empty-list form) claimed
+                # the key first — possibly migrated earlier THIS pass.
+                # A candidate-list bundle is real measurement; it wins.
+                print(f"replace (marker at target yields to bundle): "
+                      f"{old_key}")
+                if not dry:
+                    LC._atomic_write(cache_dir, new_key, raw)
+                    os.remove(path)
+                moved += 1
+                continue
             print(f"skip (target exists, keeping current): {old_key}")
             orphans.append(old_key)
             continue
