@@ -300,16 +300,33 @@ def _split_eval(spark: SparkSession,
         pretrain_epochs=pretrain_epochs, pretrain_mode=pretrain_mode,
         pretrain_censor_ms=pretrain_censor_ms, feature_generator=fg,
         pair_weighting=pair_weighting)
-    rows = [(qid, i, c.to_bundle_json(), float(c.exec_time_ms))
+    rows = [(qid, i, c.variant, c.to_bundle_json(), float(c.exec_time_ms))
             for qid, cands in test for i, c in enumerate(cands)]
     df = spark.createDataFrame(
         rows,
-        "qid string, candidate_idx int, plan_json string, exec_time_ms double")
+        "qid string, candidate_idx int, variant string, "
+        "plan_json string, exec_time_ms double")
     scored = score_plans(df, model).cache()
     loss = ranking_loss(scored)
     wloss = weighted_ranking_loss(scored)
+    # NON-REFERENCE opt-in: default-prior near-tie guard (SCALE.md
+    # round-13 q180 anatomy; 0 = reference behavior, plain argmin)
+    margin = float(os.environ.get("SPARK_GRAFT_DEFAULT_MARGIN", "0"))
     picked = {r["qid"]: r["candidate_idx"]
-              for r in choose_best(scored).collect()}
+              for r in choose_best(scored,
+                                   default_margin=margin or None).collect()}
+    # margin-sweep instrumentation (A/B on the same scored frame — each
+    # extra margin is one more window pass over the cached scores, no
+    # retraining): picks at every probe margin, for the per-margin
+    # decision-metric table in optimizer_results
+    margin_picks: dict[float, dict[str, int]] = {}
+    sweep_env = os.environ.get("SPARK_GRAFT_MARGIN_SWEEP", "")
+    for m_txt in filter(None, (s.strip() for s in sweep_env.split(","))):
+        m = float(m_txt)
+        margin_picks[m] = {
+            r["qid"]: r["candidate_idx"]
+            for r in choose_best(scored,
+                                 default_margin=m or None).collect()}
     scored.unpersist()
     tot = {"default": 0.0, "chosen": 0.0, "best": 0.0}
     for qid, cands in test:
@@ -319,8 +336,8 @@ def _split_eval(spark: SparkSession,
         tot["chosen"] += times[picked[qid]] / 1e3
         tot["best"] += min(times) / 1e3
     return {"model": model, "loss": loss, "wloss": wloss,
-            "picked": picked, "totals": {k: round(v, 4)
-                                         for k, v in tot.items()}}
+            "picked": picked, "margin_picks": margin_picks,
+            "totals": {k: round(v, 4) for k, v in tot.items()}}
 
 
 def optimizer_results(spark: SparkSession, sf_dir: str,
@@ -391,6 +408,10 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
     if cross_folds > 1:
         cross_folds = _clamp_folds(cross_folds, len(bundles))
         fold_rows = []
+        # per-margin decision-metric accumulator for the near-tie-guard
+        # A/B (SPARK_GRAFT_MARGIN_SWEEP): same trained folds, same
+        # scores — only the pick rule varies
+        sweep_acc: dict[float, dict[str, float]] = {}
         block = len(bundles) // cross_folds
         for j in range(cross_folds):
             print(f"cross-split fold {j}/{cross_folds}", file=sys.stderr,
@@ -441,6 +462,18 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                     "share_pct": round(100.0 * worst[0] / total_regret, 1),
                 },
             })
+            for m, picks in ev["margin_picks"].items():
+                acc = sweep_acc.setdefault(m, {
+                    "regret_ms": 0.0, "chosen_ms": 0.0, "best_ms": 0.0,
+                    "timeout_picks": 0, "picks_changed": 0})
+                for qid, cands in f_test:
+                    times = [float(c.exec_time_ms) for c in cands]
+                    ci = picks[qid]
+                    acc["regret_ms"] += times[ci] - min(times)
+                    acc["chosen_ms"] += times[ci]
+                    acc["best_ms"] += min(times)
+                    acc["timeout_picks"] += times[ci] >= timeout_ms
+                    acc["picks_changed"] += ci != ev["picked"][qid]
         losses = [f["ranking_loss"] for f in fold_rows
                   if f["ranking_loss"] is not None]
         gaps = [f["oracle_gap_pct"] for f in fold_rows
@@ -457,6 +490,17 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
             "oracle_gap_spread_pct": (round(max(gaps) - min(gaps), 2)
                                       if gaps else None),
         }
+        if sweep_acc:
+            cross["margin_sweep"] = {
+                str(m): {
+                    "total_regret_sec": round(a["regret_ms"] / 1e3, 4),
+                    "total_chosen_sec": round(a["chosen_ms"] / 1e3, 4),
+                    "oracle_gap_pct": (
+                        round(100.0 * (a["chosen_ms"] - a["best_ms"])
+                              / a["best_ms"], 2) if a["best_ms"] else None),
+                    "timeout_label_picks": int(a["timeout_picks"]),
+                    "picks_changed_vs_main": int(a["picks_changed"]),
+                } for m, a in sorted(sweep_acc.items())}
 
     from ..workload.extract import extract_aliases
 
@@ -530,6 +574,8 @@ def optimizer_results(spark: SparkSession, sf_dir: str,
                      if pretrain_epochs else None),
         "features": "enriched-joins" if enrich_joins else "base",
         "pair_weighting": pair_weighting,
+        "default_margin": float(os.environ.get(
+            "SPARK_GRAFT_DEFAULT_MARGIN", "0")) or None,
         "label_cache": {"enabled": cache_dir is not None,
                         "hits": cache_hits,
                         "misses": cache_lookups - cache_hits},
@@ -592,8 +638,56 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
            f"(`{res['pair_weighting']}` — NON-REFERENCE default, adopted "
            f"after the round-11 A/B; the reference trains equal-weight "
            f"pairs, restored by `SPARK_GRAFT_PAIR_WEIGHTING=none`)"
-           if res.get("pair_weighting") not in (None, "none") else ""),
+           if res.get("pair_weighting") not in (None, "none") else "")
+        + (f"  |  selection: default-prior near-tie guard at relative "
+           f"margin {res['default_margin']} (NON-REFERENCE opt-in, "
+           f"`SPARK_GRAFT_DEFAULT_MARGIN`; the reference argmins "
+           f"unconditionally)"
+           if res.get("default_margin") else ""),
         "",
+    ]
+    wb = res.get("workload_bias") or {}
+    probe_biased = bool(wb.get("probe_default_s")
+                        and wb.get("probe_skipped", 0))
+    if res.get("cross_split"):
+        # the quotable numbers live here, NOT in the single-split table
+        # below: with a probe-biased workload (slow-default queries
+        # skipped at generation) the chosen-vs-default ratio on one
+        # held-out block undersells the picker; cross-fold regret /
+        # oracle gap / timeout picks are stable under that bias
+        # (round-12 verdict item #5)
+        cs = res["cross_split"]
+        regrets = [f.get("regret_sec") for f in cs["folds"]
+                   if f.get("regret_sec") is not None]
+        tpicks = sum(f.get("timeout_label_picks") or 0
+                     for f in cs["folds"])
+        lines += [
+            "## Headline decision metrics (cross-fold — cite these "
+            "across rounds)",
+            "",
+            f"- per-fold regret (chosen - oracle best, held-out): "
+            f"max **{max(regrets)} s**, mean "
+            f"{_r4(sum(regrets) / len(regrets))} s over k={cs['k']} folds"
+            if regrets else "- per-fold regret: n/a",
+            f"- oracle gap: mean **{cs['oracle_gap_mean_pct']}%** ± "
+            f"spread {cs['oracle_gap_spread_pct']}%",
+            f"- timeout-label picks: **{tpicks}** across all folds",
+            f"- ranking loss: mean {cs['loss_mean']} ± spread "
+            f"{cs['loss_spread']} (not comparable across pairwise "
+            "objectives)",
+            "",
+        ]
+        if probe_biased:
+            lines += [
+                f"The single-split chosen-vs-default table below is "
+                f"diluted by workload bias: {wb['probe_skipped']} "
+                f"slow-default queries (> {wb['probe_default_s']}s) were "
+                "probe-skipped at generation, so the held-out default "
+                "total is dominated by already-fast queries. Use the "
+                "cross-fold metrics above for round-over-round claims.",
+                "",
+            ]
+    lines += [
         "## Held-out totals (seconds, sum over test queries)",
         "",
         "| plan choice | total sec |",
@@ -618,7 +712,6 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
             "the labeling code).",
             "",
         ]
-    wb = res.get("workload_bias") or {}
     sat = res.get("saturated_bundles")
     if wb.get("probe_default_s") or wb.get("skip_saturated") or (
             sat and (sat["labeled"] or sat["held_out"])):
@@ -679,6 +772,21 @@ def write_results_md(res: dict[str, Any], path: str) -> None:
             "needs no label censoring).",
             "",
         ]
+        if cs.get("margin_sweep"):
+            lines += [
+                "### Default-prior near-tie guard sweep (same folds, "
+                "same scores — only the pick rule varies)",
+                "",
+                "| relative margin | total regret sec | oracle gap % | "
+                "timeout picks | picks changed |",
+                "|---|---|---|---|---|",
+            ]
+            for m, a in cs["margin_sweep"].items():
+                lines.append(
+                    f"| {m} | {a['total_regret_sec']} | "
+                    f"{a['oracle_gap_pct']} | {a['timeout_label_picks']} | "
+                    f"{a['picks_changed_vs_main']} |")
+            lines.append("")
     lines += [
         "## Per-query (held-out)",
         "",

@@ -59,6 +59,36 @@ def test_choose_best_and_selection_report(spark, trained):
         sum(v for k, v in rep.items() if k != "sum"))
 
 
+def test_choose_best_default_margin_guard(spark):
+    """Round-13 q180 anatomy residue (SCALE.md): with ``default_margin``
+    set, a default plan whose predicted score is within the relative
+    margin of the argmin wins (plan-regression posture); a default far
+    outside it does not; a bundle with no default row falls back to
+    plain argmin; margin=None is byte-identical argmin."""
+    rows = [
+        # qa: argmin=idx1 (90) but default (100) within 20% -> default
+        ("qa", 0, "default", 100.0),
+        ("qa", 1, "rot1", 90.0),
+        ("qa", 2, "merge", 300.0),
+        # qb: default (200) far above argmin (90) -> argmin kept
+        ("qb", 0, "default", 200.0),
+        ("qb", 1, "rot1", 90.0),
+        # qc: no default variant -> plain argmin
+        ("qc", 0, "rot1", 50.0),
+        ("qc", 1, "rot2", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "qid string, candidate_idx int, variant string, score double")
+    plain = {r["qid"]: r["candidate_idx"]
+             for r in I.choose_best(df).collect()}
+    assert plain == {"qa": 1, "qb": 1, "qc": 1}
+    guarded = {r["qid"]: r["candidate_idx"]
+               for r in I.choose_best(df, default_margin=0.2).collect()}
+    assert guarded == {"qa": 0, "qb": 1, "qc": 1}
+    # exactly one row per query either way
+    assert I.choose_best(df, default_margin=0.2).count() == 3
+
+
 def test_ranking_loss_perfect_and_inverted(spark):
     rows = []
     for q in range(5):
@@ -335,6 +365,11 @@ def test_optimizer_results_regenerate_sf001(spark, tmp_path):
     assert "learned ranker's choice" in text
     assert str(t["chosen"]) in text
     assert "Cross-split error bar" in text
+    # cross-fold runs lead with the bias-stable decision metrics
+    # (round-12 verdict item #5)
+    assert "Headline decision metrics" in text
+    assert text.index("Headline decision metrics") < text.index(
+        "Held-out totals")
     assert "from the committed label cache" in text
     import json as _json
     blob = _json.load(open(str(tmp_path / "RESULTS.json")))
