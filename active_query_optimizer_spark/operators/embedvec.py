@@ -20,10 +20,10 @@ do not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_for_compute
+from ..catalog import load_for_compute, load_table
 from .registry import register
 
 #: symmetric int8 range: q = clamp(round_half_up(v / (amax/127)), ±127)
@@ -443,50 +443,82 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment+update round has a value-hash oracle. Iterating is the
     caller's loop: feed ``centroid_q`` back in as the next seeds.
 
-    Scale: the seed set is O(k·dim) and BROADCASTS (plan test);
-    assignment is a map-side k-fanout + one ``vec_id`` aggregate whose
-    partitioning the quantized frame already has (load helper
-    repartitions on vec_id, so the join back is co-partitioned); the
-    update is the posexplode + (cid, dim) partial-aggregate shape of
-    ``embedding_lang_centroids`` — map-side combine moves k·dim rows
-    per partition, never n·dim."""
-    q, seeds = _km_quantize_and_seed(spark, sf_dir)
-    return _km_assign_update(q, seeds)
+    Round-13 optimization (guide §2.4 "remove shuffles outright"): the
+    k seed centroids are a bounded k×dim integer matrix, so they ride
+    to the executors as LITERALS inside the assignment expression —
+    exactly how ``model/infer.py`` ships its model and how production
+    Lloyd keeps centroids on the driver between rounds — instead of a
+    broadcast crossJoin fan-out (k rows per vector) followed by a
+    ``vec_id`` argmin aggregate and a join back onto the vector frame.
+    Assignment is now MAP-ONLY (champion = ``array_min`` over the k
+    (dist·16+cid, cid) structs per row), and the whole round has ONE
+    exchange: the (cid, dim) partial-aggregated update — map-side
+    combine moves k·dim rows per partition, never n·dim. Seed
+    collection is a bounded driver transfer (k·dim longs) with the
+    ``vec_id < k`` filter pushed to parquet."""
+    q = _km_quantized(spark, sf_dir)
+    seeds = _km_collect_seeds(spark, sf_dir)
+    return _km_assign_update_literal(q, seeds)
 
 
-def _km_quantize_and_seed(spark: SparkSession,
-                          sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Shared k-means inputs: the milli-quantized vector frame
-    ``q (vec_id, qv: array<long>)`` and the first-round seed frame
-    ``seeds (cid, cv)`` = the ``KM_K`` lowest vec_ids (deterministic,
-    engine-portable — no RNG to agree on)."""
-    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
-    qv = F.transform(
+def _km_qv_expr() -> Column:
+    """The shared milli-quantization expression (exact integer space)."""
+    return F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * KM_Q + F.lit(0.5))
                    .cast("long"))
-    q = e.select("vec_id", qv.alias("qv"))
-    seeds = (q.filter(F.col("vec_id") < KM_K)
-             .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
-    return q, seeds
 
 
-def _km_assign_update(q: DataFrame, seeds: DataFrame) -> DataFrame:
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The milli-quantized vector frame ``q (vec_id, qv: array<long>)``."""
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+    return e.select("vec_id", _km_qv_expr().alias("qv"))
+
+
+def _km_collect_seeds(spark: SparkSession,
+                      sf_dir: str) -> list[tuple[int, list[int]]]:
+    """First-round seed centroids, collected to the driver: the ``KM_K``
+    lowest vec_ids (deterministic, engine-portable — no RNG to agree on)
+    as ``[(cid, [qv…])]``. Bounded transfer — k·dim longs — read with the
+    ``vec_id < k`` filter pushed to the parquet scan (no repartition on
+    this k-row path)."""
+    rows = (load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < KM_K)
+            .select("vec_id", _km_qv_expr().alias("qv"))
+            .collect())
+    return sorted((r["vec_id"], list(r["qv"])) for r in rows)
+
+
+def _km_assign_update_literal(
+        q: DataFrame, seeds: list[tuple[int, list[int]]]) -> DataFrame:
     """One Lloyd assign+update round over quantized vectors ``q``
-    (vec_id, qv: array<long>) against ``seeds`` (cid, cv: array<long>).
-    Returns the per-(cid, dim) update frame: member count, integer
-    element sum, floor-divided new centroid element. Pure integer
-    arithmetic throughout — engine-exact."""
-    diff_sq = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(diff_sq, F.lit(0).cast("long"),
-                       lambda acc, x: acc + x)
-    pairs = (q.crossJoin(F.broadcast(seeds))
-             .select("vec_id", "cid",
-                     (dist * KM_TIE + F.col("cid")).alias("key")))
-    assign = (pairs.groupBy("vec_id")
-              .agg(F.min_by("cid", F.col("key")).alias("cid")))
-    return (q.join(assign, "vec_id")
-            .select("cid", F.posexplode("qv").alias("dim", "vq"))
+    (vec_id, qv: array<long>) against driver-held ``seeds``
+    [(cid, [cv…])]. Assignment is a map-only expression (the k seed
+    vectors are literals, the champion is ``array_min`` over the k
+    ``dist·KM_TIE+cid`` keys — the same deterministic tie-break key as
+    before, decoded by mod KM_TIE); the ONLY exchange is the (cid, dim) update
+    aggregate, partial-combined map-side. Pure integer arithmetic
+    throughout — engine-exact and partitioning-invariant."""
+    # the whole assignment expression is built as ONE SQL string and
+    # parsed JVM-side — per-element Column ops for k·dim literals would
+    # cost thousands of py4j round trips at plan-construction time
+    def dist_to(cv: list[int]) -> str:
+        arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+        return (f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)),"
+                f" 0L, (acc, x) -> acc + x)")
+
+    champs = "array(" + ",".join(
+        f"({dist_to(cv)} * {KM_TIE} + {int(cid)}L)" for cid, cv in seeds
+    ) + ")"
+    # the champion key dist·KM_TIE+cid already encodes the winning cid in
+    # its low bits (cid < KM_TIE), so the argmin is min-key mod KM_TIE
+    cid = F.expr(f"pmod(array_min({champs}), {KM_TIE})").cast("long")
+    # bind cid BELOW the posexplode: selected alongside the generator it
+    # plans into the post-Generate projection and is re-evaluated once per
+    # exploded ELEMENT (dim× the work); bound first, the Generate merely
+    # carries it through (measured 2.7× total CPU difference)
+    withcid = q.select(cid.alias("cid"), "qv")
+    return (withcid.select("cid", F.posexplode("qv").alias("dim", "vq"))
             .groupBy("cid", "dim")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("vq").cast("bigint").alias("sum_q"),
@@ -494,15 +526,16 @@ def _km_assign_update(q: DataFrame, seeds: DataFrame) -> DataFrame:
                   .alias("centroid_q")))
 
 
-def _km_seeds_from_update(upd: DataFrame) -> DataFrame:
-    """Roll a (cid, dim, centroid_q) update frame back into the
-    (cid, cv: array<long>) seed shape for the next iteration: k·dim rows
-    → k rows, dim-ordered (struct array_sort orders by the leading dim
-    field; dim is unique per cid, so the order is total)."""
-    return (upd.groupBy("cid")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "centroid_q"))),
-                lambda s: s["centroid_q"]).alias("cv")))
+def _km_seeds_from_update_rows(rows) -> list[tuple[int, list[int]]]:
+    """Roll collected (cid, dim, centroid_q) update rows back into the
+    driver-side ``[(cid, [cv…])]`` seed shape for the next iteration
+    (bounded: k·dim rows)."""
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], {})[r["dim"]] = r["centroid_q"]
+    return sorted(
+        (cid, [dims[d] for d in sorted(dims)])
+        for cid, dims in by_cid.items())
 
 
 # DuckDB replay of both Lloyd rounds: round 1 is embedding_kmeans_step's
@@ -565,13 +598,18 @@ def embedding_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is the ``embedding_kmeans_step`` shape (k-row
     broadcast fan-out, map-side-combined (cid, dim) update); the
-    inter-round hand-off moves k·dim LONGS through one k-row aggregate —
-    nothing corpus-sized crosses rounds. A production loop additionally
-    persists the quantized frame ``q`` once for all iterations (here the
-    two scans at bench SF cost less than managing cache lifetime in a
-    registry entry; the sig-table pattern in ``dedup.py`` shows the
-    persisted form)."""
-    q, seeds = _km_quantize_and_seed(spark, sf_dir)
-    upd1 = _km_assign_update(q, seeds)
-    seeds2 = _km_seeds_from_update(upd1)
-    return _km_assign_update(q, seeds2)
+    inter-round hand-off moves k·dim LONGS through the driver — the
+    bounded centroid matrix, exactly what a production Lloyd loop holds
+    between rounds — so each round is the one-exchange literal-seed
+    shape of ``embedding_kmeans_step`` (round-13 optimization; the old
+    form chained two broadcast crossJoin+argmin+rejoin rounds into one
+    24-exchange DAG). A production loop additionally persists the
+    quantized frame ``q`` once for all iterations (here the two scans
+    at bench SF cost less than managing cache lifetime in a registry
+    entry; the sig-table pattern in ``dedup.py`` shows the persisted
+    form)."""
+    q = _km_quantized(spark, sf_dir)
+    seeds = _km_collect_seeds(spark, sf_dir)
+    upd1_rows = _km_assign_update_literal(q, seeds).collect()
+    seeds2 = _km_seeds_from_update_rows(upd1_rows)
+    return _km_assign_update_literal(q, seeds2)

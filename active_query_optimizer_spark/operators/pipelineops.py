@@ -33,18 +33,26 @@ from .registry import register
 )
 def plan_selection_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranker's selection operator (``Lero/lero_test.py:97``:
-    ``choice = argmin(scores)``) as a window: per group take the row
-    minimizing a score with a deterministic tie-break — one shuffle on the
-    group key; same plan shape ``model.infer.choose_best`` builds for real
-    candidate bundles."""
+    ``choice = argmin(scores)``) per group with a deterministic tie-break.
+
+    Round-13 optimization (guide §2.3 "aggregate before you shuffle"):
+    the argmin is a ``min(struct(score, tie_break))`` HASH AGGREGATE —
+    lexicographic struct ordering reproduces exactly the old window's
+    ``ROW_NUMBER() ... ORDER BY (price, linenumber) = 1`` pick
+    (``l_linenumber`` is unique per order, so there are no full ties) —
+    instead of a window sort. The partial aggregate runs map-side, so
+    the exchange carries ONE candidate row per (group × map partition)
+    rather than every candidate row, and the full per-partition SORT the
+    window needed disappears. Same single-exchange family, strictly less
+    data through it and no sort — the shape ``model.infer.choose_best``
+    wants at 100 TB candidate volume."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice",
-                                                 "l_linenumber")
-    return (li.withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") == 1)
+    best = F.min(F.struct(F.col("l_extendedprice"),
+                          F.col("l_linenumber"))).alias("best")
+    return (li.groupBy("l_orderkey").agg(best)
               .select("l_orderkey",
-                      F.col("l_linenumber").alias("chosen_line"),
-                      F.col("l_extendedprice").alias("chosen_price")))
+                      F.col("best.l_linenumber").alias("chosen_line"),
+                      F.col("best.l_extendedprice").alias("chosen_price")))
 
 
 @register(

@@ -81,14 +81,41 @@ SEQLEN_BIN = 32
 def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-token fraction, most-
     frequent-token share, duplicate-bigram fraction, and the combined
-    pass/fail flag. Array expressions handle the per-doc fractions; the
-    most-frequent token runs as explode → two-level aggregate (map-side
-    combine on (doc_id, token), then a max per doc) — one narrow shuffle
-    keyed by doc_id, no token lists ever collected."""
+    pass/fail flag.
+
+    MAP-ONLY (round-13 optimization): every per-doc statistic — including
+    the most-frequent-token count — is an array expression over the one
+    token array, so the whole query is a single projection with NO
+    shuffle, NO join, and ONE scan. The previous shape ran the top-token
+    count as explode → (doc_id, token) aggregate → (doc_id) aggregate →
+    join back onto a second scan of the corpus: 2 scans, 2 wide
+    exchanges and a join whose only job was to reunite per-doc columns
+    that were never on different rows to begin with. The top count is
+    now a run-length scan over the SORTED token array (equal tokens are
+    adjacent after ``array_sort``, so the longest run IS the max
+    multiplicity) — O(n log n) per row, all inside whole-stage codegen.
+    Docs with zero tokens are filtered exactly as the old inner join
+    dropped them (explode of an empty array emits no rows).
+
+    The token array is bound once in its own projection; it is non-cheap
+    and referenced many times, so Catalyst's CollapseProject keeps the
+    binding instead of re-inlining ``split()`` per use."""
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
-    toks = tt.tokens(F.col("text"))
+    bound = d.select("doc_id", tt.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
+    # longest run in the sorted array == count of the most frequent token
+    run2 = lambda acc, x: (  # noqa: E731 - local fold step
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"), run2(acc, x).alias("run"),
+            F.greatest(acc["best"], run2(acc, x)).alias("best")),
+        lambda acc: acc["best"])
     bg = F.zip_with(
         F.slice(toks, 1, n_tok - 1),
         F.slice(toks, 2, n_tok - 1),
@@ -97,24 +124,22 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok >= 2,
         (F.size(bg) - F.size(F.array_distinct(bg))).cast("double") / F.size(bg)
     ).otherwise(F.lit(0.0))
-    arr = d.select(
-        "doc_id",
-        n_tok.alias("n_tok"),
-        ((n_tok - n_distinct).cast("double") / n_tok).alias("dup_token_frac"),
-        dup_bigram.alias("dup_bigram_frac"),
-    )
-    top = (d.select("doc_id", F.explode(toks).alias("tok"))
-           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-           .groupBy("doc_id").agg(F.max("c").alias("top_cnt")))
-    j = arr.join(top, "doc_id")
-    top_frac = F.col("top_cnt").cast("double") / F.col("n_tok")
-    return j.select(
+    stats = (bound
+             .where(n_tok >= 1)  # empty-token docs: the old explode→inner
+             # join emitted no row for them; keep that contract
+             .select(
+                 "doc_id",
+                 ((n_tok - n_distinct).cast("double") / n_tok)
+                 .alias("dup_token_frac"),
+                 (top_cnt.cast("double") / n_tok).alias("top_token_frac"),
+                 dup_bigram.alias("dup_bigram_frac")))
+    return stats.select(
         "doc_id",
         "dup_token_frac",
-        top_frac.alias("top_token_frac"),
+        "top_token_frac",
         "dup_bigram_frac",
         ((F.col("dup_token_frac") <= DUP_TOKEN_MAX)
-         & (top_frac <= TOP_TOKEN_MAX)
+         & (F.col("top_token_frac") <= TOP_TOKEN_MAX)
          & (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX)).alias("passes"),
     )
 

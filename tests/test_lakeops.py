@@ -325,10 +325,15 @@ def test_burst_flag_fires_at_sf001(spark):
 def test_kmeans_step_partitions_vectors_and_broadcasts_seeds(spark):
     """Every vector lands in exactly one centroid (Σn over cids at any
     dim == |embeddings|, and n is dim-invariant per cid); all cids are
-    seed ids; the seed side of the assignment join is broadcast."""
+    seed ids. Round-13 plan shape: assignment is MAP-ONLY (seeds ride
+    as literals — no broadcast, no join, no cross product) and the only
+    exchange is the (cid, dim) update aggregate."""
     df = QUERIES["embedding_kmeans_step"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange <= 2, plan[:2000]  # load repartition + update agg
     rows = df.collect()
     n_vec = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     by_cid: dict = {}

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 
+from active_query_optimizer_spark.operators import QUERIES
 from active_query_optimizer_spark.plans import featurize as FZ
 from active_query_optimizer_spark.model import lero as L
 from active_query_optimizer_spark.model import infer as I
@@ -385,3 +386,62 @@ def test_optimizer_results_regenerate_sf001(spark, tmp_path):
     assert res2["totals_sec"] == t
     assert res2["per_query"] == res["per_query"]
     assert res2["cross_split"] is None
+
+
+def test_repetition_top_token_run_scan_matches_explode(spark):
+    """Round-13 internals change: quality_repetition_rules computes the
+    most-frequent-token count as a run-length scan over the SORTED token
+    array (map-only) — must equal the explode → (doc, tok) count → max
+    formulation it replaced, and the plan must have no join and no
+    aggregate exchange (the load repartition is the only exchange)."""
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.catalog import load_table
+    from active_query_optimizer_spark.functions import texttools as tt
+
+    df = QUERIES["quality_repetition_rules"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange <= 1, plan[:2000]
+
+    got = {r["doc_id"]: r["top_token_frac"] for r in df.collect()}
+    d = load_table(spark, SF_SMALL, "documents")
+    toks = tt.tokens(F.col("text"))
+    ref = (d.select("doc_id", F.explode(toks).alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id").agg(F.max("c").alias("top_cnt"))
+           .join(d.select("doc_id", F.size(toks).alias("n_tok")), "doc_id")
+           .select("doc_id", (F.col("top_cnt").cast("double")
+                              / F.col("n_tok")).alias("f")))
+    want = {r["doc_id"]: r["f"] for r in ref.collect()}
+    assert got == want
+
+
+def test_plan_selection_argmin_agg_matches_window(spark):
+    """Round-13 internals change: the argmin runs as min(struct) with
+    map-side partial aggregation — must pick exactly the row the old
+    ROW_NUMBER()-over-(price, linenumber) window picked, with no window
+    exchange-plus-full-sort in the plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from active_query_optimizer_spark.catalog import load_table
+
+    df = QUERIES["plan_selection_argmin"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+
+    got = {(r["l_orderkey"], r["chosen_line"], r["chosen_price"])
+           for r in df.collect()}
+    li = load_table(spark, SF_SMALL, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice",
+                                                 "l_linenumber")
+    want = {(r["l_orderkey"], r["chosen_line"], r["chosen_price"])
+            for r in (li.withColumn("rn", F.row_number().over(w))
+                      .where(F.col("rn") == 1)
+                      .select("l_orderkey",
+                              F.col("l_linenumber").alias("chosen_line"),
+                              F.col("l_extendedprice")
+                              .alias("chosen_price"))).collect()}
+    assert got == want

@@ -51,13 +51,6 @@ NESTED_LOOP_BY_DESIGN = {
     # single-row grand-total frame broadcast onto the per-part aggregate
     # (Q11's HAVING-against-scalar-subquery bar)
     "tpch_q11_important_parts",
-    # broadcast k-row seed-centroid frame × corpus — the deliberate
-    # k-fanout of Lloyd assignment (same class as ann_cosine_topk's
-    # broadcast query set)
-    "embedding_kmeans_step",
-    # the same k-fanout, twice (round-2 seeds are the k-row rolled-up
-    # centroids of round 1)
-    "embedding_kmeans_two_steps",
 }
 
 
@@ -71,10 +64,8 @@ BOUNDED_BROADCAST_BY_DESIGN = {
     # cardinality is a constant at every scale factor
     "ann_cosine_topk": "query set = vec_id < N_QUERIES (constant rows)",
     "knn_label_vote": "composes ann_cosine_topk's bounded query set",
-    "embedding_kmeans_step": "seed set = vec_id < KM_K (k rows)",
-    "embedding_kmeans_two_steps":
-        "round-1 seeds = vec_id < KM_K; round-2 seeds = k-row rollup "
-        "of round-1's (cid,dim) update frame",
+    # (round-13: the kmeans entries left this list — seeds now ride as
+    # bounded literals in the assignment expression, no broadcast hint)
     # single-row global-aggregate scalar frames
     "embedding_outlier_flags": "global norm-moments scalar (1 row)",
     "stats_histogram_equiwidth": "global (min,max) bounds scalar (1 row)",
