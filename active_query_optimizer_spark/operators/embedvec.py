@@ -219,6 +219,50 @@ PCA_K = 8
 PCA_OUT_Q = 1_000
 
 
+def _pca_moments(spark: SparkSession, sf_dir: str):
+    """One fused corpus pass for the PCA fit: per Arrow batch, numpy
+    computes the upper-triangle Gram partials (``DIM_Q3`` lane — exactly
+    ``embedding_gram_upper``'s arithmetic), the per-dim quantized sums
+    (``DIM_Q`` lane — exactly ``embedding_dim_stats``'s ``sum_q``), and a
+    row count, tagged into one (dim_i, dim_j, val) stream:
+
+    - ``dim_j >= 0``  → Gram entry (dim_i, dim_j)
+    - ``dim_i >= 0 > dim_j`` → per-dim sum
+    - ``dim_i < 0`` → row count
+
+    One shuffle of d(d+1)/2 + d + 1 bounded integer partials per map
+    partition, one collect. Integer partials merge exactly in any order."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_for_compute(spark, sf_dir, "embeddings", "vec_id")
+
+    def moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vq3 = np.floor(v * DIM_Q3).astype(np.int64)
+            g = vq3.T @ vq3
+            iu, ju = np.triu_indices(g.shape[0])
+            sums = np.floor(v * DIM_Q).astype(np.int64).sum(axis=0)
+            d = g.shape[0]
+            yield pd.DataFrame({
+                "dim_i": np.concatenate(
+                    [iu, np.arange(d), [-1]]).astype(np.int64),
+                "dim_j": np.concatenate(
+                    [ju, np.full(d, -1), [-1]]).astype(np.int64),
+                "val": np.concatenate(
+                    [g[iu, ju], sums, [len(pdf)]]).astype(np.int64),
+            })
+
+    partials = e.select("embedding").mapInPandas(
+        moments, "dim_i bigint, dim_j bigint, val bigint")
+    return (partials.groupBy("dim_i", "dim_j")
+            .agg(F.sum("val").cast("bigint").alias("val"))
+            .collect())
+
+
 def pca_components(spark: SparkSession, sf_dir: str, k: int = PCA_K):
     """Fit step: top-``k`` principal axes of the embedding corpus from the
     distributed quantized moments (``embedding_gram_upper`` +
@@ -231,17 +275,33 @@ def pca_components(spark: SparkSession, sf_dir: str, k: int = PCA_K):
     end-to-end. Sign ambiguity (an eigenvector and its negation are both
     valid) is canonicalized: the largest-|component| entry is made
     positive. Returns ``(mean, components)`` as float64 arrays
-    ``(d,)``/``(k, d)``."""
+    ``(d,)``/``(k, d)``.
+
+    Round-13 optimization (guide §1.2 "don't compute things you throw
+    away" / §2.3 "aggregate before you shuffle"): the fit previously ran
+    TWO full passes over the corpus — ``embedding_gram_upper`` plus
+    ``embedding_dim_stats``, the latter a posexplode of n·d rows through
+    a shuffle to produce five aggregates of which the fit reads two
+    (n, sum_q). Both moment sets now come from ONE fused ``mapInPandas``
+    pass (``_pca_moments``): each Arrow batch emits its d(d+1)/2 Gram
+    partials, d quantized dim sums, and a row-count partial, merged by a
+    single bounded aggregate. Identical integer arithmetic on both
+    lanes, so the assembled covariance is bit-identical to the two-pass
+    form (pinned by the numpy-replica test). The registered
+    ``embedding_gram_upper`` / ``embedding_dim_stats`` queries are
+    unchanged — only the fit's internal dataflow fused."""
     import numpy as np
 
-    gram = {(r["dim_i"], r["dim_j"]): r["gram_q"]
-            for r in embedding_gram_upper(spark, sf_dir).collect()}
-    stats = embedding_dim_stats(spark, sf_dir).collect()
-    d = len(stats)
-    n = stats[0]["n"]
+    rows = _pca_moments(spark, sf_dir)
+    gram = {(r["dim_i"], r["dim_j"]): r["val"]
+            for r in rows if r["dim_j"] >= 0}
+    sums = {r["dim_i"]: r["val"]
+            for r in rows if r["dim_i"] >= 0 > r["dim_j"]}
+    n = next(r["val"] for r in rows if r["dim_i"] < 0)
+    d = len(sums)
     mean = np.zeros(d)
-    for r in stats:
-        mean[r["dim"]] = (r["sum_q"] / DIM_Q) / n
+    for i, s in sums.items():
+        mean[i] = (s / DIM_Q) / n
     g = np.zeros((d, d))
     for (i, j), v in gram.items():
         g[i, j] = g[j, i] = v / (DIM_Q3 * DIM_Q3)
