@@ -624,31 +624,37 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders containing both — the pairwise support table association-rule
     mining (and co-purchase recommenders) start from.
 
-    Scale shape: the brand lookup joins ``part``, which grows with SF,
-    so its strategy is left to size stats/AQE (broadcast at bench SFs,
-    shuffled at 100 TB — no forced hint); the per-order brand set
-    collapses through DISTINCT on
-    ``(orderkey, brand)`` BEFORE pairing (dedup first — pairing raw
-    line items would square the per-order fan-out), and the pair
-    self-join is co-partitioned on ``orderkey`` (the DISTINCT's shuffle
-    partitioning serves both join sides — one exchange family, no
-    re-shuffle). Per-order fan-out is bounded by the basket's distinct
-    brand count (≤ ~7 lines/order here), never by the catalog; the
-    final aggregate's key space is |brands|² / 2 — tiny. At 100 TB the
-    same plan holds because every stage is keyed by orderkey or by the
-    bounded pair key."""
+    Scale shape (round-13 optimization, guide §2.4/§3): the brand lookup
+    joins ``part``, which grows with SF, so its strategy is left to size
+    stats/AQE (broadcast at bench SFs, shuffled at 100 TB — no forced
+    hint). The per-order distinct brand set is then built by ONE
+    ``collect_set`` aggregate keyed on orderkey, and the pairs are
+    expanded map-side from the sorted set (i<j positions of a sorted
+    array give ``brand_a < brand_b`` directly) — replacing the previous
+    DISTINCT-then-self-join, which shuffled the (orderkey, brand)
+    stream once for the distinct and again for each join side. Plan:
+    one exchange of (orderkey, brand-set) + the bounded-key pair
+    aggregate, no join of scanned data. Per-order fan-out is bounded by
+    the basket's distinct brand count (≤ ~7 lines/order here), never by
+    the catalog; the final aggregate's key space is |brands|² / 2 —
+    tiny. At 100 TB the same plan holds because every stage is keyed by
+    orderkey or by the bounded pair key."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     ob = (l.join(p, l["l_partkey"] == p["p_partkey"])
           .select(F.col("l_orderkey").alias("ok"),
-                  F.col("p_brand").alias("brand"))
-          .distinct())
-    a = ob.alias("a")
-    b = ob.alias("b")
-    return (a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                   & (F.col("a.brand") < F.col("b.brand")))
-            .groupBy(F.col("a.brand").alias("brand_a"),
-                     F.col("b.brand").alias("brand_b"))
+                  F.col("p_brand").alias("brand")))
+    baskets = (ob.groupBy("ok")
+               .agg(F.array_sort(F.collect_set("brand")).alias("brands")))
+    n = F.size("brands")
+    pairs = F.flatten(F.transform(
+        "brands",
+        lambda x, i: F.transform(
+            F.slice("brands", i + 2, n),  # tail is shorter than n; slice clamps
+            lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")))))
+    return (baskets.select(F.explode(pairs).alias("pr"))
+            .groupBy(F.col("pr.brand_a").alias("brand_a"),
+                     F.col("pr.brand_b").alias("brand_b"))
             .agg(F.count(F.lit(1)).alias("n_orders")))
 
 
