@@ -107,15 +107,20 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     - windows past the end read ``ascii('') = 0`` → zero padding, and
       ``hi = max(len - (n-1), 1)`` emits exactly one padded window for
       short/empty strings;
-    - Java ``long`` wrap-around is ring arithmetic mod 2^64, so the
-      padded sliding dot equals the fold exactly, wraps included (numpy
-      int64 wraps identically);
-    - Java ``%`` keeps the DIVIDEND's sign: ``r0 = h mod P`` adjusted by
-      ``-P`` where ``h < 0`` and ``r0 != 0``;
+    - the weight vector is PRE-REDUCED mod P (``31^e mod P``), so every
+      term stays below 2^52 and the 12-term dot below 2^56 — no int64
+      overflow for ANY code point / n. By congruence
+      ``Σ cp·31^e ≡ Σ cp·(31^e mod P) (mod P)``, so the result is
+      identical to the expression form's end-mod wherever that form is
+      defined (its un-reduced fold raises ANSI long overflow first on
+      e.g. 12-wide shingles over wide CJK text; there this kernel now
+      returns the true mod-P residue instead of a wrapped value —
+      round-13 ADVICE item, pinned by a non-ASCII n=12 parity test);
     - ``array_distinct`` keeps first-occurrence order: ``np.unique``'s
       first indices, re-sorted by position."""
     if n not in _SHINGLE_UDFS:
-        w = np.array([31 ** (n - 1 - j) for j in range(n)], dtype=np.int64)
+        w = np.array([pow(31, n - 1 - j, HASH_P) for j in range(n)],
+                     dtype=np.int64)
 
         @F.pandas_udf("array<long>")
         def _sh(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -136,10 +141,10 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
                         cp = np.concatenate(
                             [cp, np.zeros(hi + n - 1 - len(cp),
                                           dtype=np.int64)])
+                    # h ≥ 0 always (cp ≥ 0, reduced weights ≥ 0, no
+                    # overflow) → np.remainder IS the Java % here
                     h = sw_view(cp, n)[:hi] @ w
                     r = np.remainder(h, HASH_P)
-                    np.subtract(r, HASH_P, out=r,
-                                where=(h < 0) & (r != 0))
                     _, idx = np.unique(r, return_index=True)
                     out.append(r[np.sort(idx)])
                 yield pd.Series(out, dtype=object)

@@ -210,23 +210,36 @@ def _setsim_oracle() -> str:
 
 
 def _setsim_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks: array<string> in global-rarity order, n): each
-    document's distinct whitespace-token set, canonically ordered by
-    (document frequency, token) ascending — rarest first, the total
-    order every prefix-filter proof assumes."""
+    """(doc_id, toks: array<long> in global-rarity order, n): each
+    document's distinct whitespace-token set, DICTIONARY-ENCODED to the
+    token's rank in the (document frequency, token)-ascending vocabulary
+    order — rarest first, the total order every prefix-filter proof
+    assumes. Sorting the long ids ascending IS that order.
+
+    Round-14 optimization (guide §2.3 — move keys, not payloads): the
+    round-13 shape carried token STRINGS into the candidate join and the
+    verify ``array_intersect`` (measured at sf0.1: 2.14M candidate pairs,
+    ~54 s of executor CPU in those two stages alone). The rank encoding is
+    injective (``row_number`` over the distinct vocabulary — no two
+    tokens share a rank), so ``|A∩B|`` over id arrays equals ``|A∩B|``
+    over token arrays EXACTLY, and any shared total order is valid for
+    the prefix filter — output pairs are unchanged. The vocabulary rank
+    is one window over the distinct-token frame (|vocab| rows, ~50k at
+    sf0.1 — Heap's-law sublinear in corpus size); at 100 TB you'd
+    materialize the ranked vocabulary once (range-partitioned sort +
+    zipWithIndex, the standard dictionary-encoding pass) instead of the
+    single-partition window."""
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(tt.tokens(F.col("text")))).alias("t"))
-    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("d"))
-    ordered = (tok.join(dfreq, "t")
-               .groupBy("doc_id")
-               .agg(F.array_sort(F.collect_list(F.struct("d", "t")))
-                    .alias("arr")))
-    return ordered.select(
-        "doc_id",
-        F.transform("arr", lambda s: s["t"]).alias("toks"),
-        F.size("arr").alias("n"))
+    vocab = (tok.groupBy("t").agg(F.count(F.lit(1)).alias("d"))
+             .select("t", F.row_number().over(
+                 Window.orderBy("d", "t")).cast("long").alias("tid")))
+    return (tok.join(vocab, "t")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("tid")).alias("toks"),
+                 F.count(F.lit(1)).cast("int").alias("n")))
 
 
 @register("setsim_join_prefix", oracle=_setsim_oracle())
@@ -241,7 +254,13 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - **canonical order**: every token set is sorted by global document
       frequency ascending (ties by token) — one total order shared by
-      all records;
+      all records. Round 14: tokens are dictionary-encoded to their RANK
+      in that order (``_setsim_records``), so the order is just long
+      ascending, the candidate join keys on longs, and the verify
+      intersects long arrays — ~5× less CPU than string hashing/compare
+      at every stage, and provably the same output (rank is injective,
+      so intersection sizes are exact; any shared total order satisfies
+      the prefix-filter proof);
     - **prefix filter**: a pair with J ≥ t must share a token within the
       first ``n − ⌈t·n⌉ + 1`` tokens of EACH side (else one side already
       has more unshared tokens than J ≥ t allows); candidates come from
@@ -1451,12 +1470,21 @@ def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     production variant (same plan over xxhash64 span hashes).
 
     Scale: text bodies never shuffle — after the map-side fold the moving
-    rows are ``(doc_id, span_idx, h)`` longs; one groupBy on the span hash
-    (min-combine collapses map-side), one hash join back on ``h``
-    (AQE-sized — span-hash NDV grows with the corpus, so no broadcast is
-    forced), one groupBy on ``doc_id``. Span skew (a boilerplate span
-    repeated 10^9 times) is bounded by the min-combine: each map partition
-    emits one candidate per span hash."""
+    rows are ``(doc_id, span_idx, h)`` longs. Round 14 (guide §2.4): the
+    winner-per-span-hash is a ``min(k) OVER (PARTITION BY h)`` window
+    instead of the round-13 groupBy + join-back — that join-back plan
+    evaluated the WHOLE corpus kernel twice (the ``keyed`` subtree sat on
+    both join sides: 2 scans, 2 ``ArrowEvalPython`` passes, 2 repartition
+    exchanges and a broadcast; the window needs the ``keyed`` stream
+    once). The explicit ``isNotNull(h)`` filter reproduces the inner
+    join's null-key drop bit-for-bit. Trade-off, documented: the window
+    has no map-side combine, so a boilerplate span repeated 10^9 times
+    is one window partition (the old aggregate combined it map-side —
+    but its join-back side then re-shuffled the same hot ``h`` anyway
+    once the win frame outgrows a broadcast). If extreme span skew is
+    the workload, materialize ``keyed`` once and run the skew-immune
+    two-aggregate shape against the materialized table — at 100 TB that
+    is "write the span table once", not "run the kernel twice"."""
     w = SPAN_W
     d = load_for_compute(spark, sf_dir, "documents", "doc_id")
     th = tt.token_hashes(tt.tokens(F.col("text")))
@@ -1474,14 +1502,18 @@ def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.posexplode(span_hashes).alias("span_idx", "h"))
              .select("doc_id", "h",
                      (F.col("doc_id") * SPAN_KEY_MULT
-                      + F.col("span_idx")).alias("k")))
-    win = keyed.groupBy("h").agg(F.min("k").alias("min_k"))
-    kept = F.when(F.col("k") == F.col("min_k"), 1).otherwise(0)
-    return (keyed.join(win, "h")
+                      + F.col("span_idx")).alias("k"))
+             # the round-13 inner join on h dropped null span hashes;
+             # keep that contract explicitly
+             .filter(F.col("h").isNotNull()))
+    min_k = F.min("k").over(Window.partitionBy("h"))
+    kept = F.when(F.col("k") == min_k, 1).otherwise(0)
+    return (keyed.select("doc_id", kept.alias("kept"))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(kept).cast("bigint").alias("n_kept"),
-                 F.sum(1 - kept).cast("bigint").alias("n_dup_spans")))
+                 F.sum("kept").cast("bigint").alias("n_kept"),
+                 F.sum(1 - F.col("kept")).cast("bigint")
+                  .alias("n_dup_spans")))
 
 
 def _paragraph_rewrite_oracle() -> str:

@@ -93,7 +93,10 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     that were never on different rows to begin with. The top count is
     now a run-length scan over the SORTED token array (equal tokens are
     adjacent after ``array_sort``, so the longest run IS the max
-    multiplicity) — O(n log n) per row, all inside whole-stage codegen.
+    multiplicity) — O(n log n) per row. (``F.aggregate``/``array_sort``
+    lambda forms are CodegenFallback-interpreted, not whole-stage
+    codegen — but the work is linear per token, vs the old shape's two
+    corpus-wide exchanges; round-13 ADVICE docstring correction.)
     Docs with zero tokens are filtered exactly as the old inner join
     dropped them (explode of an empty array emits no rows).
 

@@ -269,3 +269,30 @@ def test_rolling_window_is_single_exchange_range_frame(spark):
     assert "Window" in plan
     assert "RangeFrame" in plan, "frame degraded to RowFrame"
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_load_for_compute_repartition_is_conditional(spark, tmp_path):
+    """Round-13 verdict item #2: the compute-family fan-out repartition
+    must only fire when the parquet scan itself would underutilize the
+    cluster. A multi-file table whose estimated scan-task count already
+    reaches parallelism/2 is returned unshuffled (at 100 TB the scan
+    yields thousands of splits — an unconditional repartition there was a
+    full-payload shuffle per query); the single-file bench tables keep
+    the explicit fan-out."""
+    import os
+
+    from active_query_optimizer_spark.catalog import load_for_compute
+
+    src = spark.range(0, 10_000).selectExpr(
+        "id AS doc_id", "repeat('x', 64) AS text")
+    (src.repartition(8).write.mode("overwrite")
+        .parquet(os.path.join(str(tmp_path), "documents.parquet")))
+
+    wide = load_for_compute(spark, str(tmp_path), "documents", "doc_id")
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"wide scan still repartitioned:\n{plan}"
+
+    narrow = load_for_compute(spark, SF_SMALL, "documents", "doc_id")
+    plan2 = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan2, (
+        f"small scan lost its fan-out repartition:\n{plan2}")

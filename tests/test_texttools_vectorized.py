@@ -8,8 +8,11 @@ whitespace runs, non-ASCII code points, NULs, 3k-char docs, NULL).
 
 One deliberate divergence, pinned here: on inputs where the expression
 form RAISES (ANSI long overflow — e.g. 12-char shingles of wide CJK code
-points), the vectorized form wraps like Java instead of raising. All real
-corpus rows are well inside int64, so behavior there is identical.
+points), the vectorized form returns the true mod-P residue instead of
+raising (its weights are pre-reduced mod P, so the dot never overflows —
+round-13 ADVICE fix; ``test_shingle12_non_ascii_exact_mod_p`` pins the
+values against an arbitrary-precision reference). All real corpus rows
+are well inside int64 either way, so behavior there is identical.
 """
 
 from __future__ import annotations
@@ -85,3 +88,46 @@ def test_shingle12_matches_on_ascii(spark):
                      tt.shingle_hashes_expr(F.col("text"), 12).alias("b"))
            .filter("a IS DISTINCT FROM b").count())
     assert bad == 0
+
+
+def _shingles_ref(text: str, n: int) -> list[int]:
+    """Arbitrary-precision reference: exact ``Σ cp·31^e mod P`` per
+    window (Python ints never overflow), zero-padded like the kernel,
+    distinct in first-occurrence order."""
+    cp = [ord(ch) for ch in text]
+    hi = max(len(cp) - (n - 1), 1)
+    cp = cp + [0] * (hi + n - 1 - len(cp))
+    out: list[int] = []
+    seen: set[int] = set()
+    for i in range(hi):
+        h = 0
+        for j in range(n):
+            h = h * 31 + cp[i + j]
+        r = h % tt.HASH_P
+        if r not in seen:
+            seen.add(r)
+            out.append(r)
+    return out
+
+
+def test_shingle12_non_ascii_exact_mod_p(spark):
+    """Round-13 ADVICE item: n=12 over wide (non-ASCII) code points used
+    to overflow int64 inside the kernel and silently wrap. The weights
+    are now pre-reduced mod P, so the kernel must return the EXACT mod-P
+    residues (matching an arbitrary-precision reference) — the same
+    values an engine computing in unbounded precision (DuckDB with a
+    wider type, or the expression form if ANSI overflow were lifted)
+    would produce."""
+    texts = ["漢字テスト文字列です、これは長いテキストです",
+             "🎉🎊🎈🎁🎀🎂🎄🎆🎇🧨✨🎃🎗🎟🎫",
+             "mixed 漢字 and ascii interleaved 文字 here",
+             "\U0010FFFF" * 20,  # max code point, every term maximal
+             "é" * 12, "é" * 11, ""]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: list(r["a"]) for r in
+           df.select("doc_id",
+                     tt.shingle_hashes(F.col("text"), 12).alias("a"))
+           .collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _shingles_ref(t, 12), f"row {i}"

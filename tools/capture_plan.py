@@ -1,8 +1,10 @@
 """Capture .explain('formatted') output for named queries() entries into
-plans/r13/<name>_<tag>.txt (judge-facing evidence for plan-shape claims).
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (default r14) — judge-facing
+evidence for plan-shape claims.
 
 Usage: python tools/capture_plan.py <tag> <query> [<query> ...]
-Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS.
+Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS,
+SPARK_GRAFT_PLANS_ROUND (default r14).
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -14,8 +16,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
